@@ -1,0 +1,66 @@
+"""HTML → text extraction: reference (pure-Python) + vectorized pandas UDF.
+
+The north rule's per-row invariant is *byte-identical extracted text per
+url* versus the reference extractor. The reference repo (TinyETL) has no
+HTML extractor — its row-transform stage is an embedded Lua function
+(/root/reference/src/transformer.rs:171-357); ``reference_extract_text``
+below plays that role as the single, deterministic source of truth. The
+production path is ``extract_text_udf`` — an Arrow-batched pandas UDF that
+applies *the same compiled regexes* so the bytes cannot diverge; the
+pytest suite asserts byte equality per url (tests/test_extract.py).
+
+Policy fixed in one place (SURVEY §7.3 risk: pandas/Arrow round-trips
+mangling bytes): html is BinaryType end-to-end; decode is UTF-8 with
+``errors='replace'``; NUL bytes are stripped before decoding (mirrors the
+reference's NUL-strip for Postgres, /root/reference/src/connectors/
+postgres.rs:467-476).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Single definition of the extraction pipeline — both the reference
+# function and the UDF call these, in this order.
+_RE_SCRIPT = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&")]  # &amp; last, per HTML rules
+
+
+def reference_extract_text(html: bytes | None) -> str | None:
+    """The oracle: deterministic, pure-Python, one value at a time."""
+    if html is None:
+        return None
+    s = html.replace(b"\x00", b"").decode("utf-8", errors="replace")
+    s = _RE_SCRIPT.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _RE_WS.sub(" ", s).strip()
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched production path. Uses pandas vectorized string ops
+    backed by the SAME compiled patterns as the reference function."""
+    s = html.map(lambda b: None if b is None
+                 else b.replace(b"\x00", b"").decode("utf-8", errors="replace"))
+    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
+    s = s.str.replace(_RE_TAG, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+
+
+def with_extracted_text(df: DataFrame, html_col: str = "html",
+                        out_col: str = "text") -> DataFrame:
+    """Attach extracted text; delete events (null html) yield null text."""
+    return df.withColumn(out_col, extract_text_udf(F.col(html_col)))

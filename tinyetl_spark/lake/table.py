@@ -1,0 +1,294 @@
+"""LakeTable — a minimal Iceberg-style ACID table over parquet.
+
+Why this exists: the north rule requires an Iceberg sink with atomic
+snapshot-per-commit, snapshot summaries (for epoch fencing), schema
+evolution, and time travel — but the sandbox has no iceberg-spark-runtime
+jar and no network. This module implements those *semantics* from scratch
+following the publicly documented Iceberg table-spec concepts (snapshot
+metadata files + a version pointer + manifest-listed data files). The
+engine talks only to this interface, so a real Iceberg catalog can be
+substituted on a cluster by reimplementing these ~6 methods with
+``spark.sql("MERGE INTO ...")`` etc.
+
+Layout on disk::
+
+    <root>/metadata/v<N>.json     # immutable snapshot metadata
+    <root>/metadata/VERSION       # current version pointer (atomic rename)
+    <root>/data/snap-<N>/_bucket=<k>/part-*.parquet
+
+Concurrency: a commit creates ``v<N>.json`` with O_EXCL — two writers
+racing on the same version deterministically leaves exactly one winner
+(optimistic concurrency, same as Iceberg's atomic swap). The streaming
+engine is single-writer per table, so retries simply re-run the idempotent
+MERGE and fence on the snapshot summary.
+
+Scale notes (100 TB): data is hash-bucketed on the merge key (default
+``url``) into ``num_buckets`` directories — the analogue of Iceberg's
+``bucket(N, url)`` partition transform. MERGE only reads & rewrites the
+buckets touched by a micro-batch (partition pruning via the manifest), so
+copy-on-write cost is proportional to touched data, not table size. At
+100 TB you would set num_buckets ~4096 so a bucket is a few tens of GB;
+tests use 8-32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+VERSION_FILE = "VERSION"
+
+# Allowed type widenings (Iceberg-spec compatible promotions).
+_WIDEN_OK = {
+    ("integer", "long"), ("integer", "double"), ("long", "double"),
+    ("float", "double"), ("date", "timestamp"),
+}
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_version: int
+    schemas: dict[str, str]            # schema_version(str) -> StructType.json()
+    num_buckets: int
+    key_col: str
+    files: list[dict[str, Any]]        # {path, bucket, schema_version, rows}
+    summary: dict[str, Any]            # per-commit info (batch_id, stats, ...)
+    properties: dict[str, Any]         # carried forward (stream fences, ...)
+    parent: int | None = None
+    timestamp_ms: int = 0
+    lineage: list[dict[str, Any]] = field(default_factory=list)  # per-partition metrics of this commit
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schemas[str(self.schema_version)]))
+
+    def schema_at(self, sv: int) -> StructType:
+        return StructType.fromJson(json.loads(self.schemas[str(sv)]))
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "version": self.version, "schema_version": self.schema_version,
+            "schemas": self.schemas, "num_buckets": self.num_buckets,
+            "key_col": self.key_col, "files": self.files, "summary": self.summary,
+            "properties": self.properties, "parent": self.parent,
+            "timestamp_ms": self.timestamp_ms, "lineage": self.lineage,
+        })
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+
+def conform(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` to ``schema``: missing columns → typed nulls, extra
+    columns dropped, every column cast — the union-by-name evolution path."""
+    have = {f.name for f in df.schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.meta_dir = os.path.join(self.root, "metadata")
+        self.data_dir = os.path.join(self.root, "data")
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, schema: StructType,
+               key_col: str = "url", num_buckets: int = 16,
+               properties: dict[str, Any] | None = None) -> "LakeTable":
+        t = cls(spark, root)
+        if t.exists():
+            raise ValueError(f"table already exists at {root}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(
+            version=0, schema_version=0, schemas={"0": schema.json()},
+            num_buckets=num_buckets, key_col=key_col, files=[],
+            summary={"operation": "create"}, properties=properties or {},
+            parent=None, timestamp_ms=int(time.time() * 1000),
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def create_if_not_exists(cls, spark, root, schema, **kw) -> "LakeTable":
+        t = cls(spark, root)
+        return t if t.exists() else cls.create(spark, root, schema, **kw)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, VERSION_FILE))
+
+    # ------------------------------------------------------------- snapshots
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for v in range(self.current_version() + 1):
+            s = self.snapshot(v)
+            out.append({"version": v, "timestamp_ms": s.timestamp_ms,
+                        "summary": s.summary})
+        return out
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic optimistic commit: O_EXCL on the snapshot file is the
+        swap; the VERSION pointer is then advanced via rename (readers that
+        race see the previous committed version — snapshot isolation)."""
+        path = os.path.join(self.meta_dir, f"v{snap.version}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, snap.to_json().encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        tmp = os.path.join(self.meta_dir, f".VERSION.{snap.version}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(snap.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.meta_dir, VERSION_FILE))
+
+    def commit(self, files: list[dict[str, Any]], summary: dict[str, Any],
+               schema_version: int | None = None,
+               new_schema: StructType | None = None,
+               properties: dict[str, Any] | None = None,
+               lineage: list[dict[str, Any]] | None = None) -> Snapshot:
+        base = self.snapshot()
+        schemas = dict(base.schemas)
+        sv = base.schema_version if schema_version is None else schema_version
+        if new_schema is not None:
+            sv = max(int(k) for k in schemas) + 1
+            schemas[str(sv)] = new_schema.json()
+        props = dict(base.properties)
+        props.update(properties or {})
+        snap = Snapshot(
+            version=base.version + 1, schema_version=sv, schemas=schemas,
+            num_buckets=base.num_buckets, key_col=base.key_col, files=files,
+            summary=summary, properties=props, parent=base.version,
+            timestamp_ms=int(time.time() * 1000), lineage=lineage or [],
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ---------------------------------------------------------------- reads
+    def bucket_expr(self, col=None, num_buckets: int | None = None):
+        """The partition transform: pmod(xxhash64(key), N) — consistent
+        everywhere (writer, pruner, reader)."""
+        snap = self.snapshot()
+        c = F.col(snap.key_col) if col is None else col
+        return F.pmod(F.xxhash64(c), F.lit(num_buckets or snap.num_buckets))
+
+    def read(self, version: int | None = None, buckets: set[int] | None = None,
+             include_tombstones: bool = False) -> DataFrame:
+        """Snapshot read with manifest-level bucket pruning and
+        union-by-name schema conformance across file schema versions."""
+        snap = self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
+        cur = snap.schema
+        if not files:
+            df = self.spark.createDataFrame([], cur)
+        else:
+            groups: dict[int, list[str]] = {}
+            for f in files:
+                groups.setdefault(f["schema_version"], []).append(f["path"])
+            parts = []
+            for sv, paths in sorted(groups.items()):
+                # read each file group with the exact schema it was written
+                # with, then conform — avoids depending on reader-side
+                # parquet type promotion.
+                part = self.spark.read.schema(snap.schema_at(sv)).parquet(*paths)
+                parts.append(conform(part, cur))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if not include_tombstones and "_deleted" in {f.name for f in cur.fields}:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df
+
+    # ------------------------------------------------------------ evolution
+    def evolve_schema(self, new_schema: StructType) -> Snapshot:
+        """Add-column / widen-type evolution (Iceberg UpdateSchema analogue).
+
+        Old data files are NOT rewritten; reads conform them to the new
+        schema (missing → null, widened → cast). Drops and narrowings are
+        rejected — same safety rules as Iceberg.
+        """
+        snap = self.snapshot()
+        old = {f.name: f for f in snap.schema.fields}
+        new = {f.name: f for f in new_schema.fields}
+        for name, f_old in old.items():
+            if name not in new:
+                raise ValueError(f"column drop not allowed: {name}")
+            f_new = new[name]
+            if f_old.dataType != f_new.dataType:
+                pair = (f_old.dataType.typeName(), f_new.dataType.typeName())
+                if pair not in _WIDEN_OK:
+                    raise ValueError(f"illegal type change {name}: {pair[0]} -> {pair[1]}")
+        return self.commit(files=snap.files,
+                           summary={"operation": "evolve-schema"},
+                           new_schema=new_schema)
+
+    # ---------------------------------------------------------- maintenance
+    def write_data(self, df: DataFrame, snap_version: int,
+                   buckets_hint: int | None = None) -> list[dict[str, Any]]:
+        """Write df (already in current schema, WITHOUT bucket col) as data
+        files for the upcoming snapshot; returns manifest entries."""
+        snap = self.snapshot()
+        out_dir = os.path.join(self.data_dir, f"snap-{snap_version}")
+        n = buckets_hint or snap.num_buckets
+        (df.withColumn("_bucket", self.bucket_expr())
+           .repartition(min(n, snap.num_buckets), "_bucket")
+           .write.partitionBy("_bucket").mode("append").parquet(out_dir))
+        entries = []
+        if os.path.exists(out_dir):
+            for bdir in os.listdir(out_dir):
+                if not bdir.startswith("_bucket="):
+                    continue
+                b = int(bdir.split("=", 1)[1])
+                for fn in os.listdir(os.path.join(out_dir, bdir)):
+                    if fn.endswith(".parquet"):
+                        entries.append({
+                            "path": os.path.join(out_dir, bdir, fn),
+                            "bucket": b, "schema_version": snap.schema_version,
+                        })
+        return entries
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
+        """Full-table replace (used for initial loads / compaction)."""
+        next_v = self.current_version() + 1
+        entries = self.write_data(conform(df, self.snapshot().schema), next_v)
+        return self.commit(files=entries,
+                           summary={"operation": "overwrite", **(summary or {})})
+
+    def compact(self, target_file_mb: int = 256) -> Snapshot:
+        """Rewrite all live data into one file-set — bounds small-file
+        accumulation from many micro-batch commits (Iceberg rewrite_data_files
+        analogue). Run out-of-band, not on the streaming hot path."""
+        df = self.read(include_tombstones=True)
+        next_v = self.current_version() + 1
+        entries = self.write_data(df, next_v)
+        return self.commit(files=entries, summary={"operation": "compact"})
