@@ -1,0 +1,137 @@
+"""The streaming CDC pipeline: event-log tail → dedup → MERGE-apply.
+
+Wiring::
+
+    stream_event_log(...)                    # checkpointed offsets
+      [.withWatermark("warc_ts", ...)        # optional in-stream guard
+       .dropDuplicatesWithinWatermark(...)]
+      .writeStream.foreachBatch(merge batch) # idempotent, epoch-fenced
+      .option("checkpointLocation", ...)
+      .trigger(availableNow=True | processingTime=...)
+
+Exactly-once story (north rule):
+- offsets: the file source checkpoint pins which log segments belong to
+  each batchId; a restarted query replays the same slice.
+- sink: ``merge_apply`` is idempotent (LWW on (warc_ts, event_seq)) AND
+  epoch-fenced (snapshot property ``fence.<stream_id>`` = last committed
+  batchId) — a replayed batch either fences out or re-merges to the same
+  state. One lake snapshot per micro-batch = Iceberg's
+  snapshot-per-commit.
+- stream incarnation: ``stream_id`` is minted once per checkpoint dir and
+  stored there. Wiping the checkpoint starts a new incarnation whose
+  batchIds restart at 0 — the new id gets a fresh fence namespace, and
+  full replay reconverges via idempotency instead of being wrongly fenced.
+
+The watermark guard (``dedup_within_watermark=...``) drops exact
+(url, event_seq) duplicates *in-stream* before they reach the merge —
+cheap state-store dedup for at-least-once upstream agents. It is an
+optimization, not a correctness requirement: merge is idempotent anyway.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from tinyetl_spark.extract import with_extracted_text
+from tinyetl_spark.lake import LakeTable, merge_apply
+from tinyetl_spark.lake.merge import MergeStats
+from tinyetl_spark.sources.eventlog import stream_event_log
+
+STREAM_ID_FILE = "tinyetl_stream_id"
+
+
+def _stream_incarnation(checkpoint_dir: str) -> str:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, STREAM_ID_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            return f.read().strip()
+    sid = uuid.uuid4().hex[:16]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(sid)
+    os.replace(tmp, p)
+    return sid
+
+
+@dataclass
+class PipelineRun:
+    query: StreamingQuery
+    stream_id: str
+    stats: list[MergeStats] = field(default_factory=list)
+
+    def await_termination(self, timeout: int | None = None):
+        return self.query.awaitTermination(timeout)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    extract: bool = True,
+    dedup_within_watermark: str | None = None,
+    query_name: str = "tinyetl-cdc",
+) -> PipelineRun:
+    """Start the CDC stream into an existing LakeTable at ``table_path``."""
+    table = LakeTable(spark, table_path)
+    if not table.exists():
+        raise ValueError(f"target table does not exist: {table_path}")
+    stream_id = _stream_incarnation(checkpoint_dir)
+
+    events = stream_event_log(spark, log_dir, max_files_per_trigger)
+    if dedup_within_watermark:
+        events = (events.withWatermark("warc_ts", dedup_within_watermark)
+                        .dropDuplicatesWithinWatermark(["url", "event_seq"]))
+
+    run_stats: list[MergeStats] = []
+    extract_fn = with_extracted_text if extract else None
+
+    def apply_batch(batch_df, batch_id: int):
+        # fresh handle per batch: foreachBatch may run on a recovered query
+        t = LakeTable(spark, table_path)
+        stats = merge_apply(t, batch_df, batch_id, stream_id=stream_id,
+                            extract_fn=extract_fn)
+        run_stats.append(stats)
+
+    writer = (events.writeStream
+              .queryName(query_name)
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    return PipelineRun(query=q, stream_id=stream_id, stats=run_stats)
+
+
+def run_to_completion(spark: SparkSession, log_dir: str, table_path: str,
+                      checkpoint_dir: str, **kw) -> list[MergeStats]:
+    """availableNow run: drain everything currently in the log, then stop."""
+    run = run_pipeline(spark, log_dir, table_path, checkpoint_dir,
+                       trigger_available_now=True, **kw)
+    run.await_termination()
+    return run.stats
+
+
+def progress_summary(run: PipelineRun) -> dict[str, Any]:
+    s = run.stats
+    return {
+        "batches": len(s),
+        "events_in": sum(x.events_in for x in s),
+        "upserts": sum(x.upserts for x in s),
+        "deletes": sum(x.deletes for x in s),
+        "dedup_drops": sum(x.dedup_drops for x in s),
+        "fenced_batches": sum(1 for x in s if x.fenced),
+        "max_skew_ratio": max((x.skew_ratio for x in s), default=0.0),
+    }
