@@ -1,38 +1,483 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver's
+parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+value-hash correctness gate. The flagship ``entry`` runs the full CDC
+engine (event mapping → LWW dedup → epoch-fenced MERGE into the lake
+table) whose final state is verified against a plain window-SQL oracle.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from tinyetl_spark.extract import with_extracted_text
+from tinyetl_spark.lake import LakeTable, merge_apply
+from tinyetl_spark.operators import dedup as D
+from tinyetl_spark.operators import similarity as S
+from tinyetl_spark.operators import text as T
+from tinyetl_spark.schema import PAGES_SCHEMA
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- CDC
+
+def _events_as_changes(ev: DataFrame) -> DataFrame:
+    """Deterministic mapping of the driver's events table onto the CDC
+    change-event shape (url, warc_ts, op, html, lang, event_seq)."""
+    return ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.concat(F.lit("https://site.example/u/"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+         .otherwise(F.encode(F.concat(F.lit("<p>"), F.col("props"), F.lit("</p>")), "UTF-8")).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: run the actual engine — 4 micro-batches through the
+    epoch-fenced LWW MERGE into a LakeTable — and return the final state."""
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_entry_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step) & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i, extract_fn=with_extracted_text)
+        out = (table.read()
+               .select("url", "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp files
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CDC_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html,
+         'en' as lang
+  from events
+), ranked as (
+  select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+  from changes
+)
+select url, event_seq, warc_ts,
+       case when html is null then null
+            else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text,
+       lang
+from ranked where rn = 1 and op <> 'delete'
+"""
+
+
+def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-DataFrame LWW dedup (the in-batch window stage on its own)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+              .select("user_id", "event_id", "ts", "event_type",
+                      F.round("value", 6).alias("value")))
+
+
+# ------------------------------------------------------------- relational
+
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+             .groupBy("l_returnflag", "l_linestatus")
+             .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                  F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                  F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                  F.count("*").alias("count_order"))
+             .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+             .orderBy(F.desc("revenue"), "l_orderkey")
+             .limit(10))
+
+
+def q5_local_suppliers(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(s, l.l_suppkey == s.s_suppkey)
+             .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+             .orderBy(F.desc("revenue"), "n_name"))
+
+
+def q_top3_customers_per_nation(spark, sf_dir):
+    from pyspark.sql import Window
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (c.withColumn("rank", F.row_number().over(w)).filter("rank <= 3")
+             .select("c_nationkey", "rank", "c_custkey",
+                     F.round("c_acctbal", 4).alias("acctbal")))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.rollup("l_returnflag", "l_linestatus")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
+
+
+def q_events_windowed(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+              .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"))
+
+
+def q_events_sessionized(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch-SQL equivalent of a session window."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    df = ev.withColumn("new_s", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    df = df.withColumn("session_no", F.sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (df.groupBy("user_id", "session_no")
+              .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+              .orderBy("user_id", "session_no"))
+
+
+def q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.get_json_object("props", "$.k").cast("long").alias("k"))
+              .filter(F.col("k") > 50).orderBy("event_id"))
+
+
+def q_date_parse_trial(spark, sf_dir):
+    """The reference's multi-format date trial parse
+    (/root/reference/src/date_parser.rs:11-116) as a coalesce of
+    try_to_timestamp over the format list."""
+    o = _t(spark, sf_dir, "orders")
+    raw = o.select("o_orderkey", F.col("o_orderdate").cast("string").alias("d"))
+    styled = raw.withColumn("raw", F.when(
+        F.col("o_orderkey") % 3 == 0, F.date_format(F.to_date("d"), "MM/dd/yyyy")).when(
+        F.col("o_orderkey") % 3 == 1, F.date_format(F.to_date("d"), "dd.MM.yyyy")).otherwise(F.col("d")))
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("raw"), F.lit("MM/dd/yyyy")),
+        F.try_to_timestamp(F.col("raw"), F.lit("dd.MM.yyyy")))
+    return (styled.select("o_orderkey", "raw", parsed.alias("parsed"))
+                  .orderBy("o_orderkey"))
+
+
+# ----------------------------------------------------- training-data ops
+
+def text_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select("doc_id", T.token_count(c).alias("n_tokens"),
+                    T.lang_id(c).alias("lang_pred"),
+                    T.quality_score(c).alias("quality"),
+                    T.fingerprint(c).alias("fp"))
+
+
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup over a dup-augmented corpus (every doc duplicated with
+    id+1e6 so groups are non-trivial)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    groups = D.exact_duplicates(d.unionByName(dup), "doc_id", "text")
+    return groups.select("fp", "n", F.col("ids").cast("string").alias("ids")).orderBy("fp")
+
+
+def dedup_minhash_jaccard(spark, sf_dir):
+    """MinHash-LSH candidates verified by true shingle Jaccard over a
+    dup-augmented corpus (near-dup pairs are exact dups here, plus any
+    organic near-dups the LSH surfaces)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return D.ngram_jaccard_pairs(d.unionByName(dup), "doc_id", "text",
+                                 threshold=0.5, k=3, num_hashes=12, bands=4)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return S.cosine_topk(e, q, k=10)
+
+
+def simhash_near_dups(spark, sf_dir):
+    """SimHash banded candidates on dup-augmented docs (Spark-only op:
+    rows-only oracle)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return D.simhash_candidates(d.unionByName(dup), "doc_id", "text")
+
+
+# ----------------------------------------------------------- contract API
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return cdc_merge_final_state(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_merge_final_state": cdc_merge_final_state,
+        "cdc_lww_latest": cdc_lww_latest,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_suppliers": q5_local_suppliers,
+        "q_top3_customers_per_nation": q_top3_customers_per_nation,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_rollup_lineitem": q_rollup_lineitem,
+        "q_events_windowed": q_events_windowed,
+        "q_events_sessionized": q_events_sessionized,
+        "q_json_props": q_json_props,
+        "q_date_parse_trial": q_date_parse_trial,
+        "text_profile": text_profile,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_jaccard": dedup_minhash_jaccard,
+        "ann_cosine_topk": ann_cosine_topk,
+        "simhash_near_dups": simhash_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_merge_final_state": CDC_ORACLE,
+        "cdc_lww_latest": """
+            with ranked as (
+              select user_id, event_id, ts, event_type, round(value, 6) as value,
+                     row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+              from events)
+            select user_id, event_id, ts, event_type, value from ranked where rn = 1
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice), 4) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+                   round(avg(l_quantity), 6) as avg_qty,
+                   count(*) as count_order
+            from lineitem where l_shipdate <= date '1998-09-02'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            select l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+            from customer join orders on o_custkey = c_custkey
+                 join lineitem on l_orderkey = o_orderkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < date '1995-03-15' and l_shipdate > date '1995-03-15'
+            group by l_orderkey, o_orderdate, o_orderpriority
+            order by revenue desc, l_orderkey limit 10
+        """,
+        "q5_local_suppliers": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+            from lineitem
+                 join orders on l_orderkey = o_orderkey
+                 join supplier on l_suppkey = s_suppkey
+                 join customer on o_custkey = c_custkey and c_nationkey = s_nationkey
+                 join nation on s_nationkey = n_nationkey
+                 join region on n_regionkey = r_regionkey
+            group by n_name order by revenue desc, n_name
+        """,
+        "q_top3_customers_per_nation": """
+            with ranked as (
+              select c_nationkey,
+                     row_number() over (partition by c_nationkey
+                                        order by c_acctbal desc, c_custkey asc) as rank,
+                     c_custkey, round(c_acctbal, 4) as acctbal
+              from customer)
+            select c_nationkey, rank, c_custkey, acctbal from ranked where rank <= 3
+        """,
+        "q_customers_without_orders": """
+            select c_custkey, c_name from customer
+            where not exists (select 1 from orders where o_custkey = c_custkey)
+            order by c_custkey
+        """,
+        "q_rollup_lineitem": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   round(sum(l_quantity), 4) as sum_qty
+            from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
+        "q_events_windowed": """
+            select time_bucket(interval '1 hour', ts) as win_start, event_type,
+                   count(*) as n, round(sum(value), 6) as sum_value
+            from events group by 1, 2
+        """,
+        "q_events_sessionized": """
+            with marked as (
+              select user_id, ts, event_id,
+                     case when lag(ts) over w is null
+                               or epoch(ts) - epoch(lag(ts) over w) > 1800
+                          then 1 else 0 end as new_s
+              from events window w as (partition by user_id order by ts, event_id)),
+            numbered as (
+              select user_id, ts,
+                     sum(new_s) over (partition by user_id order by ts, event_id
+                                      rows between unbounded preceding and current row) as session_no
+              from marked)
+            select user_id, session_no, min(ts) as session_start, count(*) as n_events
+            from numbered group by user_id, session_no
+            order by user_id, session_no
+        """,
+        "q_json_props": """
+            select event_id, cast(json_extract_string(props, '$.k') as bigint) as k
+            from events where cast(json_extract_string(props, '$.k') as bigint) > 50
+            order by event_id
+        """,
+        "q_date_parse_trial": """
+            with styled as (
+              select o_orderkey,
+                     case when o_orderkey % 3 = 0 then strftime(o_orderdate, '%m/%d/%Y')
+                          when o_orderkey % 3 = 1 then strftime(o_orderdate, '%d.%m.%Y')
+                          else cast(o_orderdate as varchar) end as raw
+              from orders)
+            select o_orderkey, raw,
+                   coalesce(try_strptime(raw, '%Y-%m-%d'),
+                            try_strptime(raw, '%m/%d/%Y'),
+                            try_strptime(raw, '%d.%m.%Y')) as parsed
+            from styled order by o_orderkey
+        """,
+        "text_profile": r"""
+            with n as (
+              select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+              from documents),
+            tok as (
+              select doc_id, nt,
+                case when nt = '' then 0
+                     else len(regexp_split_to_array(nt, ' ')) end::bigint as n_tokens,
+                len(regexp_extract_all(nt, '\b(the|a|and|of|to|in)\b', 1))::bigint as stop,
+                length(regexp_replace(nt, '[^a-z]', '', 'g'))::bigint as alpha,
+                greatest(length(nt), 1)::bigint as total,
+                len(regexp_extract_all(nt, '\b(the|and|of)\b', 1))::bigint as h_en,
+                len(regexp_extract_all(nt, '\b(der|und|die)\b', 1))::bigint as h_de,
+                len(regexp_extract_all(nt, '\b(le|et|les)\b', 1))::bigint as h_fr,
+                len(regexp_extract_all(nt, '\b(el|y|los)\b', 1))::bigint as h_es
+              from n)
+            select doc_id, n_tokens,
+              case when h_en > 0 and h_en >= h_de and h_en >= h_fr and h_en >= h_es then 'en'
+                   when h_de > 0 and h_de >= h_fr and h_de >= h_es then 'de'
+                   when h_fr > 0 and h_fr >= h_es then 'fr'
+                   when h_es > 0 then 'es' else 'und' end as lang_pred,
+              round(least(n_tokens / 100.0, 1.0)
+                    * (1.0 - stop::double / greatest(n_tokens, 1))
+                    * (alpha::double / total), 6) as quality,
+              md5(nt) as fp
+            from tok
+        """,
+        "dedup_exact_groups": r"""
+            with corpus as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents),
+            fps as (
+              select doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+              from corpus)
+            select fp, count(*) as n,
+                   cast(list_sort(list(doc_id)) as varchar) as ids
+            from fps group by fp having count(*) > 1 order by fp
+        """,
+        "dedup_minhash_jaccard": r"""
+            with corpus as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000, text from documents where doc_id % 7 = 0),
+            n as (select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt from corpus),
+            w as (select doc_id, regexp_split_to_array(nt, ' ') as ws from n),
+            sh as (select doc_id,
+                     case when len(ws) >= 3
+                          then list_distinct([array_to_string(ws[i:i+2], ' ')
+                                              for i in generate_series(1, len(ws)-2)])
+                          else [] end as sh
+                   from w),
+            sig as (select doc_id, sh,
+                     [list_min([md5(h || ':' || s) for s in sh])
+                      for h in ['0','1','2','3','4','5','6','7','8','9','10','11']] as sig
+                    from sh),
+            bands as (
+              select doc_id, sh, b.band,
+                     array_to_string(sig[b.band*3+1:b.band*3+3], '|') as bucket
+              from sig, (select unnest([0,1,2,3]) as band) b),
+            pairs as (
+              select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                              a.sh as sh_a, b.sh as sh_b
+              from bands a join bands b
+                on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id)
+            select doc_a, doc_b,
+                   round(len(list_intersect(sh_a, sh_b))::double
+                         / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0), 6) as jaccard
+            from pairs
+            where len(list_intersect(sh_a, sh_b))::double
+                  / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0) >= 0.5
+            order by doc_a, doc_b
+        """,
+        "ann_cosine_topk": """
+            with q as (select vec_id as query_id, embedding as qvec
+                       from embeddings where vec_id < 5),
+            scored as (
+              select q.query_id, e.vec_id as neighbor_id,
+                     list_dot_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) as cos
+              from q, embeddings e where e.vec_id <> q.query_id),
+            ranked as (
+              select query_id, neighbor_id, round(cos, 6) as cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) as rank
+              from scored)
+            select query_id, neighbor_id, cos, rank from ranked where rank <= 10
+        """,
+        # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)
+        # → rows-only check by design.
+    }

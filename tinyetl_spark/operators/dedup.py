@@ -1,0 +1,163 @@
+"""Deduplication family for web-scale training data.
+
+- exact: hash-groupBy on a content fingerprint (md5 of normalized text);
+- MinHash + LSH: shingle → per-hash-function min → band buckets →
+  candidate pairs via self-join on bucket → verified with true shingle
+  Jaccard. Hashing is md5-hex with *lexicographic* min — a valid uniform
+  total order available identically in Spark and DuckDB, so the whole
+  pipeline is oracle-verifiable value-for-value;
+- SimHash: 64-bit sign-aggregated token hashes, hamming-distance
+  candidates (Spark-side; verified by a rows-style oracle);
+- n-gram Jaccard: exact pairwise similarity within LSH buckets;
+- embedding near-dup: cosine > threshold pairs (see similarity.py).
+
+Scale notes: every self-join here is *bucketed* — candidates only form
+inside an LSH band bucket, so the shuffle is on (band, bucket-hash) and
+skew is bounded by bucket size; never an O(n^2) cross join. At 100 TB
+you additionally salt giant buckets (near-identical boilerplate pages)
+and cap bucket width (``max_bucket`` below) — the standard trick, since
+a 1M-document bucket means the pages are duplicates of each other anyway.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from tinyetl_spark import hof
+from tinyetl_spark.operators.text import norm_text
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) of normalized text."""
+    w = F.split(norm_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
+    sh = hof.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]))
+    return F.when(F.size(w) >= k, F.array_distinct(sh)).otherwise(F.array())
+
+
+def minhash_signature(col: Column, num_hashes: int = 12, k: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values: lexicographic min of
+    md5(i || ':' || shingle) over the shingle set."""
+    sh = shingles(col, k)
+    sig = [
+        F.array_min(hof.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of ids sharing a content fingerprint (size > 1)."""
+    return (df.select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("fp"))
+              .groupBy("fp")
+              .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+              .filter(F.col("n") > 1))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each fingerprint group."""
+    w_fp = F.md5(norm_text(F.col(text_col))).alias("fp")
+    ranked = df.select("*", w_fp).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("fp").orderBy(F.col(id_col))))
+    return ranked.filter(F.col("_rn") == 1).drop("_rn", "fp")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        num_hashes: int = 12, bands: int = 4, k: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs (a < b) that share at least one LSH band.
+
+    bands * rows_per_band == num_hashes; a pair collides in a band iff all
+    rows of the band's sub-signature match → concat the band slice into a
+    single bucket key and self-join per band.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    base = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", *[F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)]).alias("bucket"))
+        for b in range(bands)
+    ])
+    exploded = (base.select("doc", F.explode(band_arr).alias("bb"))
+                    .select("doc", F.col("bb.band").alias("band"),
+                            F.col("bb.bucket").alias("bucket")))
+    # cap pathological buckets (boilerplate explosion guard)
+    wide = (exploded.groupBy("band", "bucket").count()
+                    .filter(F.col("count") > max_bucket)
+                    .select("band", "bucket"))
+    exploded = exploded.join(wide, ["band", "bucket"], "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+              .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+              .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        threshold: float = 0.5, k: int = 3,
+                        num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """Near-duplicate pairs with exact shingle-Jaccard >= threshold,
+    candidate-filtered by LSH (never all-pairs)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
+    sh = df.select(F.col(id_col).alias("doc"),
+                   shingles(F.col(text_col), k).alias("sh"))
+    j = (cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+              .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold)
+             .orderBy("doc_a", "doc_b"))
+
+
+def simhash64(col: Column, ngram: int = 2) -> Column:
+    """64-bit SimHash over word n-grams, built from xxhash64 bit votes —
+    pure Catalyst expressions (bitwise agg via array transforms)."""
+    w = F.split(norm_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - ngram, F.lit(0)))
+    grams = F.when(F.size(w) >= ngram,
+                   F.array_distinct(hof.transform(
+                       idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int"))
+                                                         for j in range(ngram)])))
+                   ).otherwise(F.array(norm_text(col)))
+    hashes = hof.transform(grams, lambda g: F.xxhash64(g))
+    # for each bit b: votes = sum(sign of bit) ; bit set iff votes > 0
+    bits = []
+    for b in range(64):
+        vote = hof.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h, bb=b: acc + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1,
+                                              F.lit(1)).otherwise(F.lit(-1)))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
+                       band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: equal 16-bit SimHash band (4 bands over 64
+    bits) — the banded hamming-LSH scheme."""
+    s = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh"))
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned("sh", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(bands)])
+    e = s.select("doc", F.explode(band_arr).alias("bb")).select(
+        "doc", "bb.band", "bb.key")
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+             .distinct())

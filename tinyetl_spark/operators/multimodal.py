@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct — the same pattern as ``html:binary`` in the CDC table.
+The decode/feature steps run as Arrow-batched ``mapInPandas`` so each
+task processes whole record batches; the actual codec calls are STUBBED
+(pillow/librosa are not in this container) behind ``DecoderRegistry`` —
+the Spark-side contract (schema, batch shape, partitioning) is real and
+tested, and a real decoder drops in as a one-line registration.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),        # image | audio | video
+    StructField("payload", BinaryType(), True),
+    StructField("byte_len", LongType(), True),
+    StructField("sha", StringType(), True),
+])
+
+FEATURE_SCHEMA = StructType(MEDIA_META_SCHEMA.fields + [
+    StructField("feature", StringType(), True),      # decoder output (stub: digest)
+])
+
+
+class DecoderRegistry:
+    """kind -> batch decoder ``(pd.Series of bytes) -> pd.Series``.
+
+    Real deployments register e.g. an image resize+embed function here.
+    The default is a deterministic fake so pipelines are testable without
+    codec libraries; an unknown kind raises, marking where the real
+    implementation goes.
+    """
+    _decoders: dict[str, Callable[[pd.Series], pd.Series]] = {}
+
+    @classmethod
+    def register(cls, kind: str, fn: Callable[[pd.Series], pd.Series]) -> None:
+        cls._decoders[kind] = fn
+
+    @classmethod
+    def decode(cls, kind: str, payloads: pd.Series) -> pd.Series:
+        if kind in cls._decoders:
+            return cls._decoders[kind](payloads)
+        if kind in ("image", "audio", "video"):
+            # STUB: deterministic fake "feature" = sha1 prefix of payload.
+            # Replace via DecoderRegistry.register(kind, real_fn).
+            return payloads.map(lambda b: None if b is None
+                                else f"{kind}-feat-" + hashlib.sha1(b).hexdigest()[:16])
+        raise NotImplementedError(f"no decoder registered for media kind {kind!r}")
+
+
+def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata derived JVM-side (no Python): byte length + digest."""
+    p = F.col(payload_col)
+    return (df.withColumn("byte_len", F.octet_length(p).cast("long"))
+              .withColumn("sha", F.sha1(p)))
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction via mapInPandas. Partitioning by
+    kind keeps each batch homogeneous so one decoder handles it."""
+    out_schema = FEATURE_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for kind, grp in pdf.groupby("kind", sort=False):
+                s = DecoderRegistry.decode(kind, grp["payload"])
+                feats.append(pd.Series(s.values, index=grp.index))
+            pdf = pdf.copy()
+            pdf["feature"] = pd.concat(feats).reindex(pdf.index) if feats else None
+            yield pdf
+
+    cols = [f.name for f in MEDIA_META_SCHEMA.fields]
+    return (df.select(*cols)
+              .repartition("kind")
+              .mapInPandas(run, schema=out_schema))

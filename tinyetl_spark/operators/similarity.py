@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the baseline. The query set
+  is broadcast (it is small by construction); each partition scores its
+  slice and a per-query window takes k. Math is done in double with a
+  left-to-right ``F.aggregate`` fold so the DuckDB oracle (an identical
+  SQL fold) reproduces the exact same doubles — oracle-verifiable.
+- ``rp_lsh_topk``: the scale path — random-hyperplane (sign) LSH with
+  deterministic hash-derived planes; candidates only form inside a
+  signature bucket, then exact re-rank. At 100 TB brute force is a full
+  scan per query; bucketed search scans ~1/2^bits of it.
+
+Embedding near-dup for the dedup family: ``cosine_dup_pairs``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from tinyetl_spark import hof
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product fold (order fixed so
+    the SQL oracle matches bit-for-bit)."""
+    return hof.aggregate(
+        hof.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(hof.aggregate(a, F.lit(0.0),
+                                lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query vector, the k nearest neighbors by cosine
+    (excluding itself). Output: (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    base = df.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("nvec"))
+    scored = (base.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+                  .withColumn("cos", cosine(F.col("qvec"), F.col("nvec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.round("cos", 6).alias("cos"), "rank"))
+
+
+def rp_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Deterministic random-hyperplane signature: plane(b) has +-1
+    components derived from md5(b:d) parity — reproducible anywhere,
+    no stored model."""
+    import hashlib
+    sig = F.lit(0)
+    for b in range(bits):
+        coeffs = []
+        for d in range(dim):
+            h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
+            coeffs.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        # dot(vec, plane) via fixed-order fold over literal coefficient array
+        dot = hof.aggregate(
+            hof.zip_with(vec, F.array(*[F.lit(c) for c in coeffs]),
+                         lambda x, c: x.cast("double") * c),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def rp_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+                bits: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN: candidates share the full sign-signature bucket with
+    the query; exact cosine re-rank inside the bucket. Recall < 1 by
+    design; the bench compares it against brute force."""
+    sig = rp_signature(F.col(vec_col), dim, bits)
+    base = df.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("nvec"), sig.alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"), sig.alias("qbucket"))
+    cand = base.join(F.broadcast(q),
+                     (F.col("bucket") == F.col("qbucket"))
+                     & (F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"))
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, dim: int = 64,
+                     bits: int = 8, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs (a < b) with cosine >= threshold,
+    candidate-filtered by the sign-LSH bucket (not all-pairs)."""
+    sig = rp_signature(F.col(vec_col), dim, bits)
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+                     sig.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+    return (pairs.withColumn("cos", cosine(F.col("a.vec"), F.col("b.vec")))
+                 .filter(F.col("cos") >= threshold)
+                 .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                         F.round("cos", 6).alias("cos")))

@@ -1,0 +1,95 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All JVM-side Catalyst expressions (no Python in the hot path) and each
+deliberately expressible in ANSI SQL so the DuckDB oracle can verify
+values bit-for-bit: hashing uses md5 hex (identical in both engines),
+floats are rounded at the output boundary.
+
+Reference parallel: these play the role of TinyETL's per-row Lua derive
+stage (/root/reference/src/transformer.rs:171-221) but as whole-column
+expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# language marker words → deterministic n-gram-style heuristic.
+# On synthetic corpora this is a *deterministic scoring rule*, which is the
+# point: same answer in Spark and the SQL oracle.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def norm_text(col: Column) -> Column:
+    """lower + collapse whitespace + trim — the canonical form every
+    text operator keys on."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization; empty string → 0 tokens."""
+    n = norm_text(col)
+    return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("long")
+
+
+def marker_hits(col: Column, words: list[str]) -> Column:
+    """Total occurrences of any marker word (word-boundary regex)."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(norm_text(col), F.lit(pat), F.lit(1))).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language with the most marker hits; ties break by the
+    priority order en > de > fr > es; 'und' when no marker hits at all.
+    Written as an explicit CASE cascade so the SQL oracle is literally
+    the same decision procedure."""
+    langs = list(LANG_MARKERS)
+    hits = {lang: marker_hits(col, words) for lang, words in LANG_MARKERS.items()}
+    expr = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = hits[lang] > 0
+        for later in langs[i + 1:]:
+            cond = cond & (hits[lang] >= hits[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality in [0,1]: length saturation x (1 - stopword
+    ratio) x alpha ratio. Rounded to 6dp at the boundary so oracle
+    hashing is stable."""
+    n = norm_text(col)
+    toks = token_count(col)
+    stop = marker_hits(col, STOPWORDS)
+    alpha = F.length(F.regexp_replace(n, r"[^a-z]", ""))
+    total = F.greatest(F.length(n), F.lit(1))
+    score = (
+        F.least(toks.cast("double") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - stop.cast("double") / F.greatest(toks, F.lit(1)).cast("double"))
+        * (alpha.cast("double") / total.cast("double"))
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text —
+    identical hex in Spark and DuckDB, the key for exact dedup."""
+    return F.md5(norm_text(col))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns in one pass."""
+    c = F.col(text_col)
+    return (df.withColumn("n_tokens", token_count(c))
+              .withColumn("lang_pred", lang_id(c))
+              .withColumn("quality", quality_score(c))
+              .withColumn("fp", fingerprint(c)))
