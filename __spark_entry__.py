@@ -17,7 +17,6 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from tinyetl_spark.extract import with_extracted_text
 from tinyetl_spark.lake import LakeTable, merge_apply
 from tinyetl_spark.operators import dedup as D
 from tinyetl_spark.operators import similarity as S
@@ -60,7 +59,7 @@ def cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4):
             batch = changes.filter(
                 (F.col("event_seq") >= i * step) & (F.col("event_seq") < (i + 1) * step))
-            merge_apply(table, batch, i, extract_fn=with_extracted_text)
+            merge_apply(table, batch, i)
         out = (table.read()
                .select("url", "event_seq", "warc_ts", "text", "lang")
                .orderBy("url"))

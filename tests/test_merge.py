@@ -5,7 +5,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from tinyetl_spark import datagen
-from tinyetl_spark.extract import with_extracted_text
 from tinyetl_spark.lake import LakeTable, merge_apply
 from tinyetl_spark.schema import PAGES_SCHEMA
 
@@ -44,7 +43,7 @@ def test_merge_converges_to_oracle(spark, tmpdir_path):
     ev = datagen.change_events(spark, 3000, 400, seed=42)
     for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
         merge_apply(t, ev.filter(f"event_seq >= {lo} and event_seq < {hi}"), i,
-                    extract_fn=with_extracted_text)
+                    )
     assert_state_equal(t, ev)
 
 
@@ -54,9 +53,9 @@ def test_merge_idempotent_reapply(spark, tmpdir_path):
     idempotency guarantee."""
     t = make_table(spark, f"{tmpdir_path}/t")
     ev = datagen.change_events(spark, 1000, 200, seed=42)
-    merge_apply(t, ev, 0, extract_fn=with_extracted_text)
+    merge_apply(t, ev, 0)
     before = sorted((r["url"], r["event_seq"]) for r in t.read().collect())
-    merge_apply(t, ev, 1, extract_fn=with_extracted_text)  # replay, new epoch
+    merge_apply(t, ev, 1)  # replay, new epoch
     after = sorted((r["url"], r["event_seq"]) for r in t.read().collect())
     assert before == after
 

@@ -47,17 +47,24 @@ def reference_extract_text(html: bytes | None) -> str | None:
     return _RE_WS.sub(" ", s).strip()
 
 
-@pandas_udf(StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Arrow-batched production path. Uses pandas vectorized string ops
-    backed by the SAME compiled patterns as the reference function."""
+def extract_series(html: "pd.Series") -> "pd.Series":
+    """Vectorized extraction over a pandas Series of bytes — the single
+    production implementation, shared by the scalar pandas UDF and the
+    merge pipeline's mapInPandas pass. Same compiled patterns as the
+    reference function, so bytes cannot diverge."""
     s = html.map(lambda b: None if b is None
-                 else b.replace(b"\x00", b"").decode("utf-8", errors="replace"))
+                 else bytes(b).replace(b"\x00", b"").decode("utf-8", errors="replace"))
     s = s.str.replace(_RE_SCRIPT, " ", regex=True)
     s = s.str.replace(_RE_TAG, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
     return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched scalar-UDF wrapper around ``extract_series``."""
+    return extract_series(html)
 
 
 def with_extracted_text(df: DataFrame, html_col: str = "html",

@@ -13,19 +13,29 @@ Equivalent Iceberg SQL (what this compiles to on a real catalog)::
         THEN UPDATE SET *          -- including _deleted for tombstones
     WHEN NOT MATCHED THEN INSERT *
 
-Implementation is a bucket-pruned copy-on-write:
+Implementation is a bucket-pruned copy-on-write tuned to exactly THREE
+Spark jobs per micro-batch (driver fixed costs + per-task overheads are
+the scaling ceiling of a streaming pipeline — every saved job and every
+avoided task is throughput; an earlier cached-multi-action shape spent
+HALF its task time on task-deserialization lock contention):
 
-1. dedup the batch per url (window row_number over the LWW order) — cheap,
-   batch-local, never windows over the table;
-2. prune: only table buckets containing a batch url are read (manifest-level
-   partition pruning — at 100 TB a micro-batch touches a small fraction of
-   4096 buckets);
-3. union current rows of touched buckets with batch winners and take the
-   LWW winner per url — one hash shuffle on url, sized by AQE;
-4. rewrite only touched buckets; untouched buckets' files carry over into
-   the new snapshot unchanged;
-5. atomic snapshot commit carrying the (stream_id → batch_id) epoch fence
-   and per-partition lineage metrics.
+1. per-bucket histogram of the batch → events_in + touched buckets;
+2. ONE linear pipeline with ONE shuffle and no caching: union(current
+   rows of touched buckets, batch) → repartition by bucket → sort within
+   partitions (url ASC, warc_ts DESC, event_seq DESC) → a single fused
+   mapInPandas pass doing LWW dedup (duplicates are adjacent; O(1)
+   last-url carry across Arrow chunks) + vectorized text extraction for
+   winning batch rows only → plain parquet write with no second exchange
+   (no Hive partitionBy — measured ~10x the write cost for many small
+   partitions);
+3. columnar read-back of the fresh files: one aggregation yields manifest
+   bucket-sets, per-bucket lineage, and upsert/delete/skew stats.
+
+Untouched buckets' files carry over into the new snapshot unchanged
+(manifest-level partition pruning: at 100 TB with 4096 buckets a
+micro-batch rewrites only the buckets its urls hash into). The atomic
+snapshot commit carries the (stream_id → batch_id) epoch fence and the
+lineage rows.
 
 Exactly-once: if foreachBatch retries a batch, either the fence shows it
 committed (skip), or the merge re-runs — and re-running is a no-op because
@@ -39,6 +49,7 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from tinyetl_spark.lake.table import LakeTable, conform
 
@@ -68,7 +79,8 @@ def last_committed_batch(table: LakeTable, stream_id: str) -> int:
 
 
 def dedup_batch(batch: DataFrame, key: str = "url") -> DataFrame:
-    """Last-writer-wins winner per key within the batch."""
+    """Last-writer-wins winner per key within a batch (stand-alone use;
+    merge_apply folds this into its single window pass)."""
     w = Window.partitionBy(key).orderBy(
         F.col("warc_ts").desc(), F.col("event_seq").desc())
     return (batch.withColumn("_rn", F.row_number().over(w))
@@ -77,13 +89,16 @@ def dedup_batch(batch: DataFrame, key: str = "url") -> DataFrame:
 
 def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
                 stream_id: str = "default",
-                extract_fn=None) -> MergeStats:
+                extract: bool = True, transform_fn=None) -> MergeStats:
     """Apply one micro-batch of change events to the table.
 
     ``batch`` columns: event_seq, url, warc_ts, op, html, lang (+ extras
-    that exist in the table schema). ``extract_fn(df) -> df`` optionally
-    derives columns (e.g. html→text) on the *deduped winners only* — the
-    expensive vectorized UDF runs once per surviving url, not per event.
+    that exist in the table schema).
+
+    ``extract=True`` derives ``text`` from ``html`` for winning batch rows
+    inside the fused merge pass (vectorized pandas, byte-identical to the
+    reference extractor). ``transform_fn(df) -> df`` is an optional
+    df-level hook applied to the batch BEFORE merging (custom stages).
     """
     snap = table.snapshot()
     key = snap.key_col
@@ -93,56 +108,140 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         return MergeStats(batch_id, 0, 0, 0, 0, 0, snap.num_buckets, 0.0,
                           fenced=True, snapshot_version=snap.version)
 
-    events_in = batch.count()
-    winners = dedup_batch(batch, key).cache()
-    try:
-        n_winners = winners.count()
-        if extract_fn is not None:
-            winners_x = extract_fn(winners)
-        else:
-            winners_x = winners
+    if transform_fn is not None:
+        batch = transform_fn(batch)
 
-        # ---- per-partition lineage + skew metric on the batch key space
-        bucket_counts = (
-            winners.groupBy(table.bucket_expr().alias("bucket"))
-                   .agg(F.count("*").alias("events"))
-                   .collect())
-        touched = {int(r["bucket"]) for r in bucket_counts}
-        counts = [r["events"] for r in bucket_counts]
-        skew = (max(counts) / (sum(counts) / len(counts))) if counts else 0.0
-        lineage = [{"bucket": int(r["bucket"]), "events": int(r["events"])}
-                   for r in bucket_counts]
-
-        deletes = winners.filter(F.col("op") == "delete").count()
-
-        # ---- build new content of touched buckets: current ∪ winners → LWW
-        cur = table.read(buckets=touched, include_tombstones=True)
-        b = winners_x.withColumn("_deleted", F.col("op") == F.lit("delete"))
-        b = conform(b, snap.schema)
-        merged = cur.unionByName(b)
-        w = Window.partitionBy(key).orderBy(
-            F.col("warc_ts").desc(), F.col("event_seq").desc())
-        final = (merged.withColumn("_rn", F.row_number().over(w))
-                       .filter(F.col("_rn") == 1).drop("_rn"))
-
-        # ---- write new files for touched buckets, carry the rest
-        next_v = table.current_version() + 1
-        new_entries = table.write_data(final, next_v,
-                                       buckets_hint=max(len(touched), 1))
-        carried = [f for f in snap.files if f["bucket"] not in touched]
-        upserts = n_winners - deletes
-        stats = MergeStats(
-            batch_id=batch_id, events_in=events_in,
-            dedup_drops=events_in - n_winners, upserts=upserts,
-            deletes=deletes, touched_buckets=len(touched),
-            total_buckets=snap.num_buckets, skew_ratio=round(skew, 3))
+    # ---- job 1: per-bucket batch histogram -> events_in + touched buckets
+    pre = (batch.groupBy(table.bucket_expr().alias("b")).count().collect())
+    events_in = sum(int(r["count"]) for r in pre)
+    touched = {int(r["b"]) for r in pre}
+    if events_in == 0:
         committed = table.commit(
-            files=carried + new_entries,
+            files=snap.files,
             summary={"operation": "merge", "stream_id": stream_id,
-                     **stats.to_dict()},
-            properties={FENCE_PREFIX + stream_id: batch_id},
-            lineage=lineage)
-        stats.snapshot_version = committed.version
-        return stats
-    finally:
-        winners.unpersist()
+                     "batch_id": batch_id, "events_in": 0},
+            properties={FENCE_PREFIX + stream_id: batch_id})
+        return MergeStats(batch_id, 0, 0, 0, 0, 0, snap.num_buckets, 0.0,
+                          snapshot_version=committed.version)
+
+    # touch-closure: a data file may hold >1 bucket (logical bucketing);
+    # rewriting bucket 5 out of a {5,9} file requires rewriting bucket 9
+    # too, else 9's rows would survive in both old and new files. Fixpoint
+    # over the manifest's bucket-sets (driver-side, tiny).
+    while True:
+        grown = set(touched)
+        for f in snap.files:
+            bs = set(f["buckets"])
+            if bs & grown:
+                grown |= bs
+        if grown == touched:
+            break
+        touched = grown
+
+    # ---- job 2 (ONE linear pipeline, ONE shuffle, no caching):
+    # current(touched) ∪ batch → repartition by bucket → sort within
+    # partitions by (url ASC, warc_ts DESC, event_seq DESC, _src ASC) →
+    # one vectorized mapInPandas pass doing LWW-dedup (duplicates are
+    # adjacent after the sort; an O(1) last-url carry handles Arrow chunk
+    # boundaries) + text extraction for winning batch rows → parquet write
+    # with NO second shuffle (output partitioning == bucket partitioning).
+    #
+    # Design note: expressing LWW as Window.partitionBy(url) forces a
+    # second exchange (Catalyst can't prove hash(bucket(url)) clusters
+    # url), and a separate ArrowEvalPython stage doubles the Python
+    # round-trips — fused, the merge is scan → shuffle → pandas → write.
+    schema_cols = [f.name for f in snap.schema.fields]
+    cur = (table.read(buckets=touched, include_tombstones=True)
+                .withColumn("_src", F.lit(0)))
+    b = (conform(batch.withColumn("_deleted", F.col("op") == F.lit("delete")),
+                 snap.schema)
+         .withColumn("_src", F.lit(1)))
+    # one write slot per touched bucket: file layout (and therefore all
+    # future read/list work) is a function of the DATA, never of the
+    # cluster size — otherwise a bigger cluster writes more, smaller
+    # files per batch and pays for it on every later read.
+    slots = max(len(touched), 1)
+    unioned = (cur.unionByName(b)
+                  .withColumn("_bucket", table.bucket_expr())
+                  .repartition(slots, "_bucket")
+                  .sortWithinPartitions(F.col(key).asc(),
+                                        F.col("warc_ts").desc(),
+                                        F.col("event_seq").desc(),
+                                        F.col("_src").asc()))
+    out_cols = schema_cols + ["_src", "_bucket"]
+    do_extract = extract is not False and "text" in schema_cols \
+        and "html" in schema_cols
+    out_schema = StructType(
+        snap.schema.fields
+        + [StructField("_src", IntegerType(), False),
+           StructField("_bucket", LongType(), False)])
+
+    def lww_extract(batches):
+        import pandas as pd
+        from tinyetl_spark.extract import extract_series
+        last_url = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = pdf.drop_duplicates(subset=[key], keep="first")
+            if last_url is not None and len(keep) and keep.iloc[0][key] == last_url:
+                keep = keep.iloc[1:]
+            last_url = pdf.iloc[-1][key]
+            if len(keep) == 0:
+                continue
+            if do_extract:
+                mask = (keep["_src"] == 1) & keep["html"].notna()
+                if mask.any():
+                    keep = keep.copy()
+                    keep.loc[mask, "text"] = extract_series(keep.loc[mask, "html"])
+            yield keep[out_cols]
+
+    out = unioned.select(*out_cols).mapInPandas(lww_extract, schema=out_schema)
+    next_v = table.current_version() + 1
+    out_dir = table.new_data_dir(next_v)
+    out.write.mode("append").parquet(out_dir)
+
+    # ---- job 3: columnar read-back of the fresh files -> manifest
+    # entries, per-bucket lineage, and merge stats in one tiny aggregation.
+    rb = (table.spark.read.parquet(out_dir)
+          .groupBy(F.input_file_name().alias("file"),
+                   F.col("_bucket").alias("bucket"))
+          .agg(F.count("*").alias("rows"),
+               F.sum("_src").alias("from_batch"),
+               F.sum(F.when((F.col("_src") == 1) & F.col("_deleted"), 1)
+                     .otherwise(0)).alias("deletes"))
+          .collect())
+    per_file: dict[str, list[int]] = {}
+    per_bucket: dict[int, dict[str, int]] = {}
+    for r in rb:
+        path = r["file"]
+        path = path[7:] if path.startswith("file://") else path
+        bkt = int(r["bucket"])
+        per_file.setdefault(path, []).append(bkt)
+        pb = per_bucket.setdefault(bkt, {"rows": 0, "events": 0})
+        pb["rows"] += int(r["rows"])
+        pb["events"] += int(r["from_batch"])
+    new_entries = [{"path": p, "buckets": sorted(bs),
+                    "schema_version": snap.schema_version}
+                   for p, bs in per_file.items()]
+    applied = sum(int(r["from_batch"]) for r in rb)
+    deletes = sum(int(r["deletes"]) for r in rb)
+    batch_counts = [v["events"] for v in per_bucket.values() if v["events"]]
+    skew = (max(batch_counts) / (sum(batch_counts) / len(batch_counts))
+            if batch_counts else 0.0)
+    lineage = [{"bucket": b, **v} for b, v in sorted(per_bucket.items())]
+
+    carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
+    stats = MergeStats(
+        batch_id=batch_id, events_in=events_in,
+        dedup_drops=events_in - applied, upserts=applied - deletes,
+        deletes=deletes, touched_buckets=len(touched),
+        total_buckets=snap.num_buckets, skew_ratio=round(skew, 3))
+    committed = table.commit(
+        files=carried + new_entries,
+        summary={"operation": "merge", "stream_id": stream_id,
+                 **stats.to_dict()},
+        properties={FENCE_PREFIX + stream_id: batch_id},
+        lineage=lineage)
+    stats.snapshot_version = committed.version
+    return stats

@@ -41,7 +41,7 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 VERSION_FILE = "VERSION"
 
@@ -203,11 +203,17 @@ class LakeTable:
     def read(self, version: int | None = None, buckets: set[int] | None = None,
              include_tombstones: bool = False) -> DataFrame:
         """Snapshot read with manifest-level bucket pruning and
-        union-by-name schema conformance across file schema versions."""
+        union-by-name schema conformance across file schema versions.
+
+        Pruning is two-level: (1) skip files whose manifest bucket-set
+        does not intersect ``buckets`` (file pruning — no IO at all);
+        (2) a residual row filter on the stored ``_bucket`` column for
+        files that hold more than one bucket.
+        """
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
-            files = [f for f in files if f["bucket"] in buckets]
+            files = [f for f in files if set(f["buckets"]) & buckets]
         cur = snap.schema
         if not files:
             df = self.spark.createDataFrame([], cur)
@@ -218,9 +224,14 @@ class LakeTable:
             parts = []
             for sv, paths in sorted(groups.items()):
                 # read each file group with the exact schema it was written
-                # with, then conform — avoids depending on reader-side
-                # parquet type promotion.
-                part = self.spark.read.schema(snap.schema_at(sv)).parquet(*paths)
+                # with (+ the physical _bucket column), then conform —
+                # avoids depending on reader-side parquet type promotion.
+                sv_schema = StructType(
+                    snap.schema_at(sv).fields
+                    + [StructField("_bucket", LongType(), True)])
+                part = self.spark.read.schema(sv_schema).parquet(*paths)
+                if buckets is not None:
+                    part = part.filter(F.col("_bucket").isin(*buckets))
                 parts.append(conform(part, cur))
             df = parts[0]
             for p in parts[1:]:
@@ -253,28 +264,59 @@ class LakeTable:
                            new_schema=new_schema)
 
     # ---------------------------------------------------------- maintenance
+    def new_data_dir(self, snap_version: int) -> str:
+        """Unique directory per write job (part-file numbering restarts at
+        0 for every job, so two writes must never share a directory)."""
+        import uuid as _uuid
+        return os.path.join(self.data_dir,
+                            f"snap-{snap_version}-{_uuid.uuid4().hex[:8]}")
+
+    def write_files(self, df_with_extras: DataFrame, out_dir: str,
+                    slots: int) -> None:
+        """ONE linear job: hash-repartition on the physical ``_bucket``
+        column into ``slots`` partitions (≥2x the touched-bucket count so
+        bucket→slot collisions stay rare and most files hold one bucket)
+        and write plain parquet. No Hive partitionBy — measured ~10x the
+        cost of the write itself for many small partitions; bucketing is
+        recorded in the manifest instead."""
+        (df_with_extras.repartition(slots, "_bucket")
+                       .write.mode("append").parquet(out_dir))
+
+    def readback_entries(self, out_dir: str,
+                         schema_version: int | None = None
+                         ) -> tuple[list[dict[str, Any]], DataFrame]:
+        """Manifest entries for freshly written files via a cheap columnar
+        read-back of just the ``_bucket`` column (+ a reusable per-file/
+        bucket aggregate frame for lineage/stats)."""
+        snap = self.snapshot()
+        sv = snap.schema_version if schema_version is None else schema_version
+        rb = (self.spark.read.parquet(out_dir)
+              .groupBy(F.input_file_name().alias("file"),
+                       F.col("_bucket").alias("bucket"))
+              .agg(F.count("*").alias("rows")))
+        per_file: dict[str, list[int]] = {}
+        agg_rows = rb.collect()
+        for r in agg_rows:
+            path = r["file"]
+            path = path[7:] if path.startswith("file://") else path
+            per_file.setdefault(path, []).append(int(r["bucket"]))
+        entries = [{"path": p, "buckets": sorted(bs), "schema_version": sv}
+                   for p, bs in per_file.items()]
+        return entries, rb
+
     def write_data(self, df: DataFrame, snap_version: int,
                    buckets_hint: int | None = None) -> list[dict[str, Any]]:
         """Write df (already in current schema, WITHOUT bucket col) as data
-        files for the upcoming snapshot; returns manifest entries."""
+        files for the upcoming snapshot; returns manifest entries
+        ``{path, buckets, schema_version}``."""
         snap = self.snapshot()
-        out_dir = os.path.join(self.data_dir, f"snap-{snap_version}")
-        n = buckets_hint or snap.num_buckets
-        (df.withColumn("_bucket", self.bucket_expr())
-           .repartition(min(n, snap.num_buckets), "_bucket")
-           .write.partitionBy("_bucket").mode("append").parquet(out_dir))
-        entries = []
-        if os.path.exists(out_dir):
-            for bdir in os.listdir(out_dir):
-                if not bdir.startswith("_bucket="):
-                    continue
-                b = int(bdir.split("=", 1)[1])
-                for fn in os.listdir(os.path.join(out_dir, bdir)):
-                    if fn.endswith(".parquet"):
-                        entries.append({
-                            "path": os.path.join(out_dir, bdir, fn),
-                            "bucket": b, "schema_version": snap.schema_version,
-                        })
+        out_dir = self.new_data_dir(snap_version)
+        slots = buckets_hint or min(
+            4 * snap.num_buckets,
+            max(2 * self.spark.sparkContext.defaultParallelism, 8))
+        self.write_files(df.withColumn("_bucket", self.bucket_expr()),
+                         out_dir, slots)
+        entries, _ = self.readback_entries(out_dir)
         return entries
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:

@@ -64,50 +64,75 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return ranked.filter(F.col("_rn") == 1).drop("_rn", "fp")
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                        num_hashes: int = 12, bands: int = 4, k: int = 3,
-                        max_bucket: int = 1000) -> DataFrame:
-    """Candidate near-dup pairs (a < b) that share at least one LSH band.
+def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Materialized (doc, shingles) frame — computed ONCE and persisted.
+    Folding the shingle expression into every downstream consumer would
+    blow the expression tree past whole-stage-codegen limits (observed:
+    interpreted fallback, ~20ms/row) and recompute it per join side."""
+    return df.select(F.col(id_col).alias("doc"),
+                     shingles(F.col(text_col), k).alias("sh")).persist()
 
-    bands * rows_per_band == num_hashes; a pair collides in a band iff all
-    rows of the band's sub-signature match → concat the band slice into a
-    single bucket key and self-join per band.
-    """
+
+def _band_df(sh_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bucket) rows from materialized shingles."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    base = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    sig = F.array(*[
+        F.array_min(hof.transform(
+            F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ])
+    base = sh_df.select("doc", sig.alias("sig"))
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("|", *[F.element_at("sig", b * rows_per_band + r + 1)
                                     for r in range(rows_per_band)]).alias("bucket"))
         for b in range(bands)
     ])
-    exploded = (base.select("doc", F.explode(band_arr).alias("bb"))
-                    .select("doc", F.col("bb.band").alias("band"),
-                            F.col("bb.bucket").alias("bucket")))
-    # cap pathological buckets (boilerplate explosion guard)
+    return (base.select("doc", F.explode(band_arr).alias("bb"))
+                .select("doc", F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket")))
+
+
+def _lsh_pairs(band_df: DataFrame, max_bucket: int) -> DataFrame:
+    exploded = band_df.persist()
+    # cap pathological buckets (boilerplate explosion guard): a bucket with
+    # >max_bucket members would create O(n^2) pairs; at web scale such a
+    # bucket means near-identical boilerplate — handled by exact dedup.
     wide = (exploded.groupBy("band", "bucket").count()
                     .filter(F.col("count") > max_bucket)
                     .select("band", "bucket"))
     exploded = exploded.join(wide, ["band", "bucket"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.doc") < F.col("b.doc")))
-              .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-              .distinct())
-    return pairs
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+             .distinct())
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        num_hashes: int = 12, bands: int = 4, k: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs (a < b) that share at least one LSH band.
+
+    bands * rows_per_band == num_hashes; a pair collides in a band iff all
+    rows of the band's sub-signature match -> concat the band slice into a
+    single bucket key and self-join per band (shuffle on the bucket key,
+    never an all-pairs cross join).
+    """
+    return _lsh_pairs(_band_df(_shingle_df(df, id_col, text_col, k),
+                               num_hashes, bands), max_bucket)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         threshold: float = 0.5, k: int = 3,
-                        num_hashes: int = 12, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 12, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate pairs with exact shingle-Jaccard >= threshold,
     candidate-filtered by LSH (never all-pairs)."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
-    sh = df.select(F.col(id_col).alias("doc"),
-                   shingles(F.col(text_col), k).alias("sh"))
+    sh = _shingle_df(df, id_col, text_col, k)
+    cands = _lsh_pairs(_band_df(sh, num_hashes, bands), max_bucket)
     j = (cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
               .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

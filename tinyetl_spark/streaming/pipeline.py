@@ -38,7 +38,6 @@ from typing import Any
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from tinyetl_spark.extract import with_extracted_text
 from tinyetl_spark.lake import LakeTable, merge_apply
 from tinyetl_spark.lake.merge import MergeStats
 from tinyetl_spark.sources.eventlog import stream_event_log
@@ -94,13 +93,12 @@ def run_pipeline(
                         .dropDuplicatesWithinWatermark(["url", "event_seq"]))
 
     run_stats: list[MergeStats] = []
-    extract_fn = with_extracted_text if extract else None
 
     def apply_batch(batch_df, batch_id: int):
         # fresh handle per batch: foreachBatch may run on a recovered query
         t = LakeTable(spark, table_path)
         stats = merge_apply(t, batch_df, batch_id, stream_id=stream_id,
-                            extract_fn=extract_fn)
+                            extract=extract)
         run_stats.append(stats)
 
     writer = (events.writeStream
