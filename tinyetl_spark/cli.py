@@ -1,0 +1,140 @@
+"""CLI — run / transfer / preview / dry-run / init-config.
+
+Parity with the reference entry points (/root/reference/src/main.rs:14-37,
+src/cli.rs:5-72, src/transfer.rs:23-368):
+
+    python -m tinyetl_spark.cli transfer SRC DST [--transform ...]
+    python -m tinyetl_spark.cli run job.yaml
+    python -m tinyetl_spark.cli ... --preview N | --dry-run
+    python -m tinyetl_spark.cli init-config
+
+The pipeline order matches the reference's documented contract
+(README.md:766-771): load → validate(schema file) → defaults →
+transform → transfer. ``mode: stream`` switches the target to the CDC
+MERGE pipeline (the north-rule path) instead of a plain file sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from tinyetl_spark.config import JobConfig, Endpoint, generate_default_config
+from tinyetl_spark.session import get_spark
+from tinyetl_spark.transform import TransformSpec, load_python_transform
+
+
+def _build_df(spark, cfg: JobConfig):
+    from tinyetl_spark.sources.files import read_source
+    df = read_source(spark, cfg.source.uri, options=cfg.source.options,
+                     infer_schema=cfg.infer_schema,
+                     date_sniff=cfg.source.options.get("date_sniff") == "true")
+    if cfg.schema_file:
+        import yaml
+        from tinyetl_spark.schema import DeclaredSchema
+        with open(cfg.schema_file) as f:
+            ds = DeclaredSchema.from_dict(yaml.safe_load(f))
+        df = ds.apply(df)
+    if cfg.transform_file:
+        if cfg.transform_file.endswith(".py"):
+            df = load_python_transform(cfg.transform_file)(df)
+        else:
+            df = TransformSpec.parse_file(cfg.transform_file).apply(df)
+    elif cfg.transform:
+        # inline mode: derive/overlay only, never filters (reference
+        # README.md:585)
+        spec = TransformSpec.parse_inline(cfg.transform)
+        spec.where = None
+        df = spec.apply(df)
+    return df
+
+
+def cmd_run(cfg: JobConfig) -> int:
+    spark = get_spark(app_name="tinyetl-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = _build_df(spark, cfg)
+
+    if cfg.preview:
+        print("schema:")
+        df.printSchema()
+        df.show(cfg.preview, truncate=40)
+        return 0
+    if cfg.dry_run:
+        # connect both ends, resolve schema, 10-row transform smoke, zero
+        # writes (reference transfer.rs:318-368)
+        df.limit(10).collect()
+        print("dry-run ok:")
+        df.printSchema()
+        print(f"would write to {cfg.target.uri} "
+              f"({'stream' if cfg.mode == 'stream' else 'batch'} mode)")
+        return 0
+
+    t0 = time.time()
+    if cfg.mode == "stream":
+        from tinyetl_spark.lake import LakeTable
+        from tinyetl_spark.schema import PAGES_SCHEMA
+        from tinyetl_spark.streaming.pipeline import run_to_completion
+        if not cfg.checkpoint_dir:
+            raise SystemExit("stream mode requires options.checkpoint_dir")
+        LakeTable.create_if_not_exists(
+            spark, cfg.target.uri, PAGES_SCHEMA,
+            key_col=cfg.key_col, num_buckets=cfg.num_buckets)
+        stats = run_to_completion(
+            spark, cfg.source.uri, cfg.target.uri, cfg.checkpoint_dir,
+            max_files_per_trigger=cfg.max_files_per_trigger)
+        n = sum(s.events_in for s in stats)
+        el = time.time() - t0
+        print(f"applied {n} events in {len(stats)} batches, "
+              f"{el:.1f}s ({n / max(el, 0.001):.0f} events/sec)")
+    else:
+        from tinyetl_spark.sources.files import write_sink
+        n = df.count()
+        write_sink(df, cfg.target.uri, options=cfg.target.options,
+                   truncate=cfg.truncate)
+        el = time.time() - t0
+        print(f"transferred {n} rows in {el:.1f}s "
+              f"({n / max(el, 0.001):.0f} rows/sec)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tinyetl-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("init-config", help="print a starter job.yaml")
+
+    runp = sub.add_parser("run", help="run a YAML job")
+    runp.add_argument("config")
+    runp.add_argument("--preview", type=int)
+    runp.add_argument("--dry-run", action="store_true")
+
+    tr = sub.add_parser("transfer", help="direct SRC DST transfer")
+    tr.add_argument("source")
+    tr.add_argument("target")
+    tr.add_argument("--transform")
+    tr.add_argument("--transform-file")
+    tr.add_argument("--schema-file")
+    tr.add_argument("--truncate", action="store_true")
+    tr.add_argument("--preview", type=int)
+    tr.add_argument("--dry-run", action="store_true")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "init-config":
+        print(generate_default_config())
+        return 0
+    if args.cmd == "run":
+        cfg = JobConfig.from_yaml(args.config)
+        cfg.preview = args.preview
+        cfg.dry_run = args.dry_run
+        return cmd_run(cfg)
+    cfg = JobConfig(
+        source=Endpoint(uri=args.source), target=Endpoint(uri=args.target),
+        transform=args.transform, transform_file=args.transform_file,
+        schema_file=args.schema_file, truncate=args.truncate,
+        preview=args.preview, dry_run=args.dry_run)
+    return cmd_run(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,10 +111,21 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     if transform_fn is not None:
         batch = transform_fn(batch)
 
-    # ---- job 1: per-bucket batch histogram -> events_in + touched buckets
-    pre = (batch.groupBy(table.bucket_expr().alias("b")).count().collect())
-    events_in = sum(int(r["count"]) for r in pre)
-    touched = {int(r["b"]) for r in pre}
+    # ---- job 1: events_in + touched buckets.
+    # Adaptive pruning probe: the per-bucket histogram is only worth a
+    # job when batches are SPARSE relative to the bucket count (then the
+    # copy-on-write can skip most of the table). When the previous merge
+    # touched most buckets, assume touch-all (always correct — a superset
+    # of the real touch set) and pay only a metadata-cheap count().
+    prev_active = int(snap.summary.get("active_buckets", 0))
+    dense = prev_active > 0.5 * snap.num_buckets
+    if dense:
+        events_in = batch.count()   # parquet footer count, no column scan
+        touched = set(range(snap.num_buckets))
+    else:
+        pre = (batch.groupBy(table.bucket_expr().alias("b")).count().collect())
+        events_in = sum(int(r["count"]) for r in pre)
+        touched = {int(r["b"]) for r in pre}
     if events_in == 0:
         committed = table.commit(
             files=snap.files,
@@ -199,7 +210,16 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     out = unioned.select(*out_cols).mapInPandas(lww_extract, schema=out_schema)
     next_v = table.current_version() + 1
     out_dir = table.new_data_dir(next_v)
-    out.write.mode("append").parquet(out_dir)
+    sess = table.spark
+    aqe_before = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        # fixed-shape query (explicit repartition, fixed slot count): AQE
+        # cannot improve it and its per-stage re-planning adds latency to
+        # every micro-batch.
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        out.write.mode("append").parquet(out_dir)
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
     # ---- job 3: columnar read-back of the fresh files -> manifest
     # entries, per-bucket lineage, and merge stats in one tiny aggregation.
@@ -232,6 +252,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     lineage = [{"bucket": b, **v} for b, v in sorted(per_bucket.items())]
 
     carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
+    active_buckets = sum(1 for v in per_bucket.values() if v["events"])
     stats = MergeStats(
         batch_id=batch_id, events_in=events_in,
         dedup_drops=events_in - applied, upserts=applied - deletes,
@@ -240,7 +261,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     committed = table.commit(
         files=carried + new_entries,
         summary={"operation": "merge", "stream_id": stream_id,
-                 **stats.to_dict()},
+                 "active_buckets": active_buckets, **stats.to_dict()},
         properties={FENCE_PREFIX + stream_id: batch_id},
         lineage=lineage)
     stats.snapshot_version = committed.version

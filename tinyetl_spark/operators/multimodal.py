@@ -70,14 +70,29 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas. Partitioning by
     kind keeps each batch homogeneous so one decoder handles it."""
     out_schema = FEATURE_SCHEMA
+    # snapshot the registry at PLAN time: executors re-import this module
+    # and would otherwise see an empty class-level dict; the snapshot rides
+    # in the (cloudpickled) closure instead.
+    decoders = dict(DecoderRegistry._decoders)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import pandas as pd
+
+        def decode(kind, payloads):
+            if kind in decoders:
+                return decoders[kind](payloads)
+            if kind in ("image", "audio", "video"):
+                return payloads.map(lambda b: None if b is None
+                                    else f"{kind}-feat-" + _hl.sha1(bytes(b)).hexdigest()[:16])
+            raise NotImplementedError(f"no decoder registered for media kind {kind!r}")
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             feats = []
             for kind, grp in pdf.groupby("kind", sort=False):
-                s = DecoderRegistry.decode(kind, grp["payload"])
+                s = decode(kind, grp["payload"])
                 feats.append(pd.Series(s.values, index=grp.index))
             pdf = pdf.copy()
             pdf["feature"] = pd.concat(feats).reindex(pdf.index) if feats else None

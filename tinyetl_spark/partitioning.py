@@ -1,0 +1,74 @@
+"""Partitioning & skew control — the explicit knobs the north rule asks for.
+
+The reference is single-threaded (no partitioning at all); these helpers
+are the Spark-native policies the CDC engine and the training-data
+operators share:
+
+- ``salted_repartition``: break a hot key (one domain = millions of urls)
+  across ``salt_n`` sub-partitions; use for groupBys keyed on a skewed
+  column. Joins against salted keys need the dim side exploded with
+  ``explode_salt`` — or just AQE skew-join, which the session enables.
+- ``skew_ratio``: per-partition-key histogram metric (max/avg) — the
+  number the lineage records each micro-batch.
+- ``bucket_for``: the engine-wide bucket transform (same function as
+  LakeTable.bucket_expr, importable without a table handle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def bucket_for(col: Column, num_buckets: int) -> Column:
+    """pmod(xxhash64(key), N) — consistent with LakeTable's layout."""
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets))
+
+
+def with_salt(df: DataFrame, key: str, salt_n: int = 8,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic row-level salt (hash of the whole row id-space would
+    need an id; xxhash64 over all columns is stable and cheap)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                         F.lit(salt_n)))
+
+
+def salted_repartition(df: DataFrame, key: str, num_partitions: int,
+                       salt_n: int = 8) -> DataFrame:
+    """Repartition on (key, salt) so one hot key spreads over ``salt_n``
+    partitions. Downstream per-key aggregation must be two-phase:
+    aggregate (key, salt) partially, then aggregate key."""
+    salted = with_salt(df, key, salt_n)
+    return salted.repartition(num_partitions, F.col(key), F.col("_salt"))
+
+
+def two_phase_count(df: DataFrame, key: str, salt_n: int = 8) -> DataFrame:
+    """Skew-safe count per key: partial agg on (key, salt) → final on key.
+    (Spark's hash agg already does map-side partials; this pattern matters
+    for agg functions without partial pushdown or for foldable state.)"""
+    salted = with_salt(df, key, salt_n)
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("c"))
+    return partial.groupBy(key).agg(F.sum("c").alias("count"))
+
+
+def explode_salt(dim: DataFrame, salt_n: int = 8,
+                 salt_col: str = "_salt") -> DataFrame:
+    """Replicate a (small) dimension across every salt value so it joins
+    against a salted fact on (key, salt)."""
+    return dim.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+
+
+def skew_ratio(df: DataFrame, key_expr: Column) -> float:
+    """max(per-key count) / avg(per-key count) — 1.0 means uniform."""
+    row = (df.groupBy(key_expr.alias("k")).count()
+             .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+             .collect()[0])
+    return float(row["mx"] / row["av"]) if row["av"] else 0.0
+
+
+def partition_histogram(df: DataFrame, key_expr: Column) -> DataFrame:
+    """Rows per partition key — the lineage/debugging view."""
+    return (df.groupBy(key_expr.alias("k")).count()
+              .orderBy(F.desc("count")))

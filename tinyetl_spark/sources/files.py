@@ -1,0 +1,153 @@
+"""File/DB source & sink dispatch — the connector factory.
+
+Reference: URL-shape dispatch at /root/reference/src/connectors/mod.rs:
+179-239 (scheme → DB connector, extension → file format). Spark's
+DataSource API already fuses transport+format (s3a://, hdfs://, file://),
+so the protocol layer (http/ssh staging downloads,
+/root/reference/src/protocols/) collapses into URI handling; JDBC covers
+the five SQL connectors (sqlite/postgres/mysql/mssql/odbc scan+sink
+pagination logic is subsumed by ``spark.read.jdbc`` partitioning).
+
+Reference semantics preserved where visible:
+- CSV: header row, per-cell type trial with date sniffing
+  (connectors/csv.rs:82-111) → typed casts after inference; empty
+  string → null; inferred columns always nullable (schema.rs:549-553 —
+  Spark's inference already yields nullable columns);
+- JSON: whole-file array-of-objects (multiLine) like connectors/json.rs;
+  nested data stays structured instead of stringified (improvement);
+- append-first table lifecycle: mode("append") default, truncate →
+  overwrite (transfer.rs:89-118).
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from tinyetl_spark.date_parser import might_be_date, parse_or_keep
+
+_FILE_FORMATS = {".csv": "csv", ".tsv": "csv", ".json": "json",
+                 ".ndjson": "json", ".parquet": "parquet", ".avro": "avro"}
+_JDBC_SCHEMES = {"jdbc", "postgresql", "postgres", "mysql", "sqlite",
+                 "mssql", "sqlserver", "odbc"}
+
+
+def detect_format(uri: str, explicit: str | None = None) -> str:
+    if explicit:
+        return explicit
+    parsed = urlparse(uri)
+    if parsed.scheme in _JDBC_SCHEMES:
+        return "jdbc"
+    path = parsed.path or uri
+    # extension wins even for directories: Spark-written datasets are
+    # directories named like files (out.json/part-*.json)
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _FILE_FORMATS:
+        return _FILE_FORMATS[ext]
+    if uri.endswith("/") or os.path.isdir(path):
+        return "eventlog"
+    raise ValueError(f"cannot determine format for {uri!r}; "
+                     f"known extensions: {sorted(_FILE_FORMATS)}")
+
+
+def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
+                options: dict | None = None, infer_schema: bool = True,
+                date_sniff: bool = False) -> DataFrame:
+    fmt = detect_format(uri, fmt)
+    options = options or {}
+    if fmt == "csv":
+        reader = (spark.read.option("header", "true")
+                  .option("inferSchema", str(infer_schema).lower())
+                  .option("nullValue", "")            # empty cell -> null
+                  .options(**options))
+        if uri.endswith(".tsv"):
+            reader = reader.option("sep", "\t")
+        df = reader.csv(uri)
+        if date_sniff:
+            df = sniff_string_dates(df)
+        return df
+    if fmt == "json":
+        # reference reads whole-file JSON arrays (connectors/json.rs); our
+        # own sink (and most pipelines) write JSON-lines. Sniff: a file
+        # starting with '[' is an array document -> multiLine.
+        multi = options.pop("multiLine", None)
+        if multi is None and os.path.isfile(uri):
+            with open(uri, "rb") as fh:
+                head = fh.read(64).lstrip()
+            multi = "true" if head.startswith(b"[") else "false"
+        return (spark.read.option("multiLine", multi or "false")
+                .options(**options).json(uri))
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(uri)
+    if fmt == "avro":
+        try:
+            return spark.read.format("avro").options(**options).load(uri)
+        except Exception as e:  # AnalysisException: module not deployed
+            raise RuntimeError(
+                "avro requires the spark-avro data source "
+                "(org.apache.spark:spark-avro) on the classpath; it is not "
+                "bundled in this deployment") from e
+    if fmt == "jdbc":
+        return spark.read.format("jdbc").option("url", uri).options(**options).load()
+    if fmt == "eventlog":
+        from tinyetl_spark.sources.eventlog import read_event_log
+        return read_event_log(spark, uri)
+    raise ValueError(f"unsupported source format: {fmt}")
+
+
+def sniff_string_dates(df: DataFrame, sample_rows: int = 1000) -> DataFrame:
+    """Reference CSV behavior: a string column whose sampled non-null
+    values ALL parse as dates becomes a timestamp column
+    (connectors/csv.rs:82-111 + schema.rs:526-554 type vote)."""
+    string_cols = [f.name for f in df.schema.fields
+                   if f.dataType.typeName() == "string"]
+    if not string_cols:
+        return df
+    sample = df.limit(sample_rows)
+    aggs = []
+    for c in string_cols:
+        nn = F.count(F.col(c))
+        parsed = F.count(F.when(might_be_date(F.col(c))
+                                & parse_or_keep(F.col(c)).isNotNull(), 1))
+        aggs.append(((nn > 0) & (nn == parsed)).alias(c))
+    votes = sample.agg(*aggs).collect()[0]
+    for c in string_cols:
+        if votes[c]:
+            df = df.withColumn(c, parse_or_keep(F.col(c)))
+    return df
+
+
+def write_sink(df: DataFrame, uri: str, fmt: str | None = None,
+               options: dict | None = None, mode: str = "append",
+               truncate: bool = False) -> None:
+    """Append-first table lifecycle (reference transfer.rs:89-118):
+    truncate → overwrite; else append where the format supports it.
+    CSV is truncate-only in the reference (supports_append()=false,
+    connectors/csv.rs) — mirrored by forcing overwrite."""
+    fmt = detect_format(uri, fmt)
+    options = options or {}
+    mode = "overwrite" if truncate else mode
+    if fmt == "csv":
+        (df.coalesce(1) if options.pop("single_file", None) else df) \
+            .write.mode("overwrite").option("header", "true") \
+            .options(**options).csv(uri)
+    elif fmt == "json":
+        df.write.mode(mode).options(**options).json(uri)
+    elif fmt == "parquet":
+        df.write.mode(mode).options(**options).parquet(uri)
+    elif fmt == "avro":
+        try:
+            df.write.mode(mode).format("avro").options(**options).save(uri)
+        except Exception as e:
+            raise RuntimeError(
+                "avro requires the spark-avro data source "
+                "(org.apache.spark:spark-avro) on the classpath; it is not "
+                "bundled in this deployment") from e
+    elif fmt == "jdbc":
+        (df.write.format("jdbc").option("url", uri)
+           .options(**options).mode("overwrite" if truncate else mode).save())
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
