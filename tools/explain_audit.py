@@ -1,0 +1,54 @@
+"""Plan audit: print formatted plans for the headline queries and grep
+for the properties that matter at scale (pushed filters, pruned scans,
+broadcast joins, whole-stage codegen spans). Run occasionally; findings
+feed PLANS.md."""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tinyetl_spark.session import get_spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
+         "q_top3_customers_per_nation", "q_customers_without_orders",
+         "q_events_windowed", "text_profile", "ann_cosine_topk",
+         "cdc_lww_latest"]
+
+
+def audit(name, df):
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed = [p for p in pushed if p.strip()]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    bhj = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    smj = plan.count("SortMergeJoin")
+    wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+    arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    print(f"== {name}")
+    print(f"   pushed_filters={len(pushed)} broadcast_joins={bhj} "
+          f"sortmerge_joins={smj} codegen_spans={wsc} python_nodes={arrow}")
+    for s in schemas[:4]:
+        cols = s.count(":")
+        print(f"   scan reads {cols} cols: {s[:90]}")
+    return plan
+
+
+def main():
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    full = "--full" in sys.argv
+    for name in AUDIT:
+        plan = audit(name, qs[name](spark, SF))
+        if full:
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()
