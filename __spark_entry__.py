@@ -258,6 +258,95 @@ def simhash_near_dups(spark, sf_dir):
     return D.simhash_candidates(d.unionByName(dup), "doc_id", "text")
 
 
+
+
+def q_string_funcs(spark, sf_dir):
+    """The scalar-expression engine (reference P4 Lua stdlib surface:
+    upper/lower/sub/find/gsub/len/concat/floor/abs — transformer.rs)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.length("c_name").alias("len"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("gsub"),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("cat"),
+        F.floor(F.col("c_acctbal")).cast("long").alias("flr"),
+        F.round(F.abs(F.col("c_acctbal")), 4).alias("absv"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("pos")).alias("cond"),
+    ).orderBy("c_custkey")
+
+
+def q_validation_defaults(spark, sf_dir):
+    """Declared-schema validation stage (reference P6: type/nullable/
+    pattern/default, schema.rs:148-244) in drop mode over events.props."""
+    from tinyetl_spark.schema import DeclaredSchema
+    ds = DeclaredSchema.from_dict({"columns": {
+        "event_id": {"type": "long", "nullable": False},
+        "event_type": {"type": "string", "pattern": "^(click|view|signup|purchase)$"},
+        "value": {"type": "string", "default": "0.0"},
+    }})
+    out = ds.apply(_t(spark, sf_dir, "events"), on_violation="drop")
+    return (out.select("event_id", "event_type",
+                       F.round(F.col("value").cast("double"), 6).alias("value"))
+               .orderBy("event_id"))
+
+
+def q_cube_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.cube("event_type", F.hour("ts").alias("hr"))
+              .agg(F.count("*").alias("n")))
+
+
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregation, run availableNow
+    over the complete events table — the streaming result must equal the
+    batch SQL oracle (replayable determinism)."""
+    import uuid as _uuid
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="tinyetl_swc_")
+    try:
+        ev.write.parquet(f"{work}/in")
+        schema = ev.schema
+        name = "swc_" + _uuid.uuid4().hex[:8]
+        # no watermark: complete-mode output keeps all windows (the table's
+        # ts is TIMESTAMP_NTZ, which event-time watermarks reject anyway;
+        # the CDC pipeline's watermark path is exercised in
+        # tests/test_streaming.py on proper TIMESTAMP data)
+        q = (spark.readStream.schema(schema).parquet(f"{work}/in")
+             .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+             .agg(F.count("*").alias("n"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.table(name)
+               .select(F.col("w.start").alias("win_start"), "event_type", "n"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def ann_embedding_dups(spark, sf_dir):
+    """Embedding near-dup pairs via sign-LSH bucket + exact cosine —
+    full SQL oracle (hyperplanes derived from md5 hex, reproducible in
+    DuckDB)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(e, threshold=0.2, dim=64, bits=4)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Sketch aggregate (approx_count_distinct / HLL). Approximate by
+    nature -> rows-only driver check; the pytest suite bounds its error
+    against the exact count."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                   F.count("*").alias("n")))
+
+
 # ----------------------------------------------------------- contract API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -284,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
         "simhash_near_dups": simhash_near_dups,
+        "q_string_funcs": q_string_funcs,
+        "q_validation_defaults": q_validation_defaults,
+        "q_cube_events": q_cube_events,
+        "stream_windowed_counts": stream_windowed_counts,
+        "ann_embedding_dups": ann_embedding_dups,
+        "q_approx_distinct": q_approx_distinct,
     }
 
 
@@ -477,6 +572,57 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select query_id, neighbor_id, cos, rank from ranked where rank <= 10
         """,
+        "q_string_funcs": """
+            select c_custkey,
+                   upper(c_name) as up,
+                   lower(c_mktsegment) as lo,
+                   substr(c_name, 1, 8) as sub,
+                   length(c_name)::bigint as len,
+                   regexp_replace(c_name, '[0-9]+', '#', 'g') as gsub,
+                   c_name || '/' || c_mktsegment as cat,
+                   floor(c_acctbal)::bigint as flr,
+                   round(abs(c_acctbal), 4) as absv,
+                   case when c_acctbal < 0 then 'neg' else 'pos' end as cond
+            from customer order by c_custkey
+        """,
+        "q_validation_defaults": """
+            select event_id, event_type,
+                   round(cast(coalesce(cast(value as varchar), '0.0') as double), 6) as value
+            from events
+            where event_id is not null
+              and (event_type is null or regexp_matches(event_type, '^(click|view|signup|purchase)$'))
+            order by event_id
+        """,
+        "q_cube_events": """
+            select event_type, hour(ts) as hr, count(*) as n
+            from events group by cube (event_type, hour(ts))
+        """,
+        "stream_windowed_counts": """
+            select time_bucket(interval '1 hour', ts) as win_start, event_type,
+                   count(*) as n
+            from events group by 1, 2
+        """,
+        "ann_embedding_dups": """
+            with planes as (
+              select b, [case when substr(md5(b || ':' || d), 1, 1) <= '7'
+                              then 1.0 else -1.0 end
+                         for d in generate_series(0, 63)] as plane
+              from (select unnest([0,1,2,3]) as b)),
+            sigs as (
+              select e.vec_id, e.embedding,
+                     sum(case when list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                              then power(2, p.b) else 0 end)::bigint as bucket
+              from embeddings e, planes p
+              group by e.vec_id, e.embedding),
+            pairs as (
+              select a.vec_id as doc_a, b.vec_id as doc_b,
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) as cos
+              from sigs a join sigs b on a.bucket = b.bucket and a.vec_id < b.vec_id)
+            select doc_a, doc_b, round(cos, 6) as cos from pairs where cos >= 0.2
+        """,
+        # q_approx_distinct: HLL sketch is approximate -> rows-only check.
         # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)
         # → rows-only check by design.
     }

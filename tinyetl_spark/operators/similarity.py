@@ -64,8 +64,10 @@ def rp_signature(vec: Column, dim: int, bits: int = 8) -> Column:
     for b in range(bits):
         coeffs = []
         for d in range(dim):
+            # +-1 from the FIRST HEX CHAR of md5("b:d") — chosen so a SQL
+            # oracle can reproduce it verbatim: substr(md5(..),1,1) <= '7'
             h = hashlib.md5(f"{b}:{d}".encode()).hexdigest()
-            coeffs.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+            coeffs.append(1.0 if h[0] <= "7" else -1.0)
         # dot(vec, plane) via fixed-order fold over literal coefficient array
         dot = hof.aggregate(
             hof.zip_with(vec, F.array(*[F.lit(c) for c in coeffs]),
