@@ -104,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("init-config", help="print a starter job.yaml")
 
+    mt = sub.add_parser("maintain", help="lake table housekeeping")
+    mt.add_argument("table")
+    mt.add_argument("--compact", action="store_true",
+                    help="rewrite live data into a fresh file-set")
+    mt.add_argument("--expire-keep", type=int, default=None,
+                    help="expire snapshots, keeping the last N")
+    mt.add_argument("--metrics", action="store_true",
+                    help="print merge metrics + per-bucket lineage")
+
     runp = sub.add_parser("run", help="run a YAML job")
     runp.add_argument("config")
     runp.add_argument("--preview", type=int)
@@ -120,6 +129,24 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--dry-run", action="store_true")
 
     args = ap.parse_args(argv)
+    if args.cmd == "maintain":
+        from tinyetl_spark.lake import LakeTable
+        spark = get_spark(app_name="tinyetl-maintain")
+        spark.sparkContext.setLogLevel("ERROR")
+        t = LakeTable(spark, args.table)
+        if not t.exists():
+            raise SystemExit(f"no lake table at {args.table}")
+        if args.compact:
+            snap = t.compact()
+            print(f"compacted -> snapshot v{snap.version}, "
+                  f"{len(snap.files)} files")
+        if args.expire_keep is not None:
+            print(t.expire_snapshots(keep_last=args.expire_keep))
+        if args.metrics:
+            from tinyetl_spark.lineage import bucket_lineage, merge_metrics
+            merge_metrics(t).show(50, truncate=False)
+            bucket_lineage(t).show(50)
+        return 0
     if args.cmd == "init-config":
         print(generate_default_config())
         return 0

@@ -44,6 +44,8 @@ LWW over (warc_ts, event_seq) is idempotent.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, asdict
 from typing import Any
 
@@ -100,8 +102,16 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     reference extractor). ``transform_fn(df) -> df`` is an optional
     df-level hook applied to the batch BEFORE merging (custom stages).
     """
+    timing = os.environ.get("TINYETL_MERGE_TIMING") == "1"
+    tmarks = [("start", time.time())]
+
+    def mark(label):
+        if timing:
+            tmarks.append((label, time.time()))
+
     snap = table.snapshot()
     key = snap.key_col
+    mark("snapshot")
 
     # ---- epoch fence: skip replayed batches that already committed
     if batch_id <= last_committed_batch(table, stream_id):
@@ -126,6 +136,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         pre = (batch.groupBy(table.bucket_expr().alias("b")).count().collect())
         events_in = sum(int(r["count"]) for r in pre)
         touched = {int(r["b"]) for r in pre}
+    mark("job1_probe")
     if events_in == 0:
         committed = table.commit(
             files=snap.files,
@@ -210,6 +221,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     out = unioned.select(*out_cols).mapInPandas(lww_extract, schema=out_schema)
     next_v = table.current_version() + 1
     out_dir = table.new_data_dir(next_v)
+    mark("plan_built")
     sess = table.spark
     aqe_before = sess.conf.get("spark.sql.adaptive.enabled", "true")
     try:
@@ -221,6 +233,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     finally:
         sess.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
+    mark("job2_write")
     # ---- job 3: columnar read-back of the fresh files -> manifest
     # entries, per-bucket lineage, and merge stats in one tiny aggregation.
     rb = (table.spark.read.parquet(out_dir)
@@ -251,6 +264,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             if batch_counts else 0.0)
     lineage = [{"bucket": b, **v} for b, v in sorted(per_bucket.items())]
 
+    mark("job3_readback")
     carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
     active_buckets = sum(1 for v in per_bucket.values() if v["events"])
     stats = MergeStats(
@@ -265,4 +279,9 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         properties={FENCE_PREFIX + stream_id: batch_id},
         lineage=lineage)
     stats.snapshot_version = committed.version
+    mark("commit")
+    if timing:
+        segs = ", ".join(f"{lbl}={t1 - t0:.2f}s" for (_, t0), (lbl, t1)
+                         in zip(tmarks, tmarks[1:]))
+        print(f"[merge-timing] batch={batch_id} {segs}", flush=True)
     return stats

@@ -326,6 +326,39 @@ class LakeTable:
         return self.commit(files=entries,
                            summary={"operation": "overwrite", **(summary or {})})
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Retire old snapshots and delete data files no LIVE snapshot
+        references (Iceberg expire_snapshots analogue). Bounds metadata
+        and storage growth from one-snapshot-per-micro-batch; time travel
+        remains available for the kept window only.
+
+        Safe ordering: collect the live file set FIRST, delete orphan data
+        files, then delete the expired metadata — a crash in between only
+        leaves harmless extra files/metadata, never a broken snapshot.
+        """
+        current = self.current_version()
+        cutoff = max(current - keep_last + 1, 0)
+        live_files: set[str] = set()
+        for v in range(cutoff, current + 1):
+            for f in self.snapshot(v).files:
+                live_files.add(f["path"])
+        removed_files = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and p not in live_files:
+                    os.remove(p)
+                    removed_files += 1
+        removed_snaps = 0
+        for v in range(cutoff):
+            mp = os.path.join(self.meta_dir, f"v{v}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+                removed_snaps += 1
+        return {"expired_snapshots": removed_snaps,
+                "deleted_files": removed_files,
+                "oldest_kept": cutoff}
+
     def compact(self, target_file_mb: int = 256) -> Snapshot:
         """Rewrite all live data into one file-set — bounds small-file
         accumulation from many micro-batch commits (Iceberg rewrite_data_files
