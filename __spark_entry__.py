@@ -25,8 +25,35 @@ from tinyetl_spark.schema import PAGES_SCHEMA
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+_PKG_READY: set[int] = set()
+
+
+def _ensure_pkg_on_workers(spark: SparkSession) -> None:
+    """The driver may hand us an arbitrary SparkSession (any cwd, any
+    PYTHONPATH). Python workers spawned by THAT session must still import
+    tinyetl_spark for the mapInPandas closures — ship the package once via
+    addPyFile (workers put SparkFiles on sys.path)."""
+    if id(spark) in _PKG_READY:
+        return
+    import zipfile
+    zip_path = os.path.join(tempfile.gettempdir(), "tinyetl_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            pkg = os.path.join(REPO, "tinyetl_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, REPO))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_READY.add(id(spark))
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg_on_workers(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

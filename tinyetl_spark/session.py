@@ -31,6 +31,15 @@ def get_spark(
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cores, 8)
 
+    # python workers must import tinyetl_spark regardless of the caller's
+    # cwd: export the repo root before the JVM/daemon starts (local mode
+    # inherits the driver env) and for real executors too.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (repo_root + os.pathsep + existing
+                                    if existing else repo_root)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
