@@ -225,6 +225,9 @@ def main() -> None:
         return
 
     env = {**os.environ, "PYTHONPATH": REPO}
+    # sweep shuffle dirs leaked by crashed runs — they live in RAM (tmpfs)
+    if _fast_tmp():
+        shutil.rmtree(f"{_fast_tmp()}/spark-local", ignore_errors=True)
     scaling = {}
     # Two alternating rounds per level, keep the best: the sandbox host is
     # a shared VM with ~2x run-to-run noise (measured); best-of-N with
