@@ -36,17 +36,28 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
     addPyFile (workers put SparkFiles on sys.path)."""
     if id(spark) in _PKG_READY:
         return
+    import hashlib
     import zipfile
-    zip_path = os.path.join(tempfile.gettempdir(), "tinyetl_spark_pkg.zip")
+    pkg = os.path.join(REPO, "tinyetl_spark")
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(dirpath, fn))
+    # key the shipped zip on package CONTENT so a code change invalidates
+    # the cached copy (a fixed name made later sessions import stale code)
+    h = hashlib.md5()
+    for full in sorted(sources):
+        with open(full, "rb") as f:
+            h.update(full.encode())
+            h.update(f.read())
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"tinyetl_spark_pkg_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = zip_path + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            pkg = os.path.join(REPO, "tinyetl_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        zf.write(full, os.path.relpath(full, REPO))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, REPO))
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _PKG_READY.add(id(spark))
@@ -206,7 +217,11 @@ def q_events_sessionized(spark, sf_dir):
     from pyspark.sql import Window
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    # microsecond-exact gap: unix_timestamp() truncates to whole seconds,
+    # which classifies gaps near the 1800s boundary differently from the
+    # oracle's fractional epoch() when ts carries microseconds. NTZ
+    # subtraction yields a microsecond-precision interval.
+    gap = (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 1800 SECONDS")
     df = ev.withColumn("new_s", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
     df = df.withColumn("session_no", F.sum("new_s").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -357,11 +372,16 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 def ann_embedding_dups(spark, sf_dir):
-    """Embedding near-dup pairs via sign-LSH bucket + exact cosine —
-    full SQL oracle (hyperplanes derived from md5 hex, reproducible in
-    DuckDB)."""
-    e = _t(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs(e, threshold=0.2, dim=64, bits=4)
+    """Embedding near-dup pairs via BANDED 16-bit sign-LSH + exact cosine
+    — full SQL oracle (hyperplanes derived from md5 hex, reproducible in
+    DuckDB). Corpus is dup-augmented (every 5th vector repeated under
+    id+1e6) so true near-dups exist and must survive the sharper buckets:
+    identical vectors agree on every plane, so every band finds them."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return S.cosine_dup_pairs(e.unionByName(dup), threshold=0.2,
+                              dim=64, bits=16, bands=4)
 
 
 def q_approx_distinct(spark, sf_dir):
@@ -630,24 +650,34 @@ def oracle_sql() -> dict[str, str]:
             from events group by 1, 2
         """,
         "ann_embedding_dups": """
-            with planes as (
-              select b, [case when substr(md5(b || ':' || d), 1, 1) <= '7'
+            with corpus as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000, embedding from embeddings where vec_id % 5 = 0),
+            planes as (
+              select g, [case when substr(md5(g || ':' || d), 1, 1) <= '7'
                               then 1.0 else -1.0 end
                          for d in generate_series(0, 63)] as plane
-              from (select unnest([0,1,2,3]) as b)),
+              from (select unnest(generate_series(0, 63)) as g)),
             sigs as (
-              select e.vec_id, e.embedding,
-                     sum(case when list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
-                              then power(2, p.b) else 0 end)::bigint as bucket
-              from embeddings e, planes p
-              group by e.vec_id, e.embedding),
+              select c.vec_id, g // 16 as band,
+                     sum(case when list_dot_product(c.embedding::DOUBLE[], p.plane) >= 0
+                              then power(2, g % 16) else 0 end)::bigint as bucket
+              from corpus c, planes p
+              group by c.vec_id, g // 16),
             pairs as (
-              select a.vec_id as doc_a, b.vec_id as doc_b,
-                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) as cos
-              from sigs a join sigs b on a.bucket = b.bucket and a.vec_id < b.vec_id)
-            select doc_a, doc_b, round(cos, 6) as cos from pairs where cos >= 0.2
+              select distinct a.vec_id as doc_a, b.vec_id as doc_b
+              from sigs a join sigs b
+                on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id),
+            scored as (
+              select p.doc_a, p.doc_b,
+                     list_dot_product(ca.embedding::DOUBLE[], cb.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(ca.embedding::DOUBLE[], ca.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(cb.embedding::DOUBLE[], cb.embedding::DOUBLE[]))) as cos
+              from pairs p
+                   join corpus ca on ca.vec_id = p.doc_a
+                   join corpus cb on cb.vec_id = p.doc_b)
+            select doc_a, doc_b, round(cos, 6) as cos from scored where cos >= 0.2
         """,
         # q_approx_distinct: HLL sketch is approximate -> rows-only check.
         # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)

@@ -121,3 +121,122 @@ def test_unknown_media_kind_raises(spark):
                                "media_id long, kind string, payload binary")
     with pytest.raises(Exception, match="hologram"):
         MM.extract_features(MM.attach_metadata(df)).collect()
+
+
+# ------------------------------------------------------ simhash value oracle
+
+# Pure-Python XXH64 (public spec, seed 42 = Spark's xxhash64 seed) so the
+# SimHash signature — not oracle-checkable in DuckDB (no xxhash64) — gets a
+# value-level check against an independent reimplementation.
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc, inp):
+    return (_rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xx_round(v1, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v2 = _xx_round(v2, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v3 = _xx_round(v3, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v4 = _xx_round(v4, int.from_bytes(data[i:i + 8], "little")); i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _xx_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1) & _M64), 23)
+              * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _simhash_py(text: str, ngram: int = 2) -> int:
+    """Driver-side mirror of dedup.simhash64 (norm_text -> word n-grams ->
+    xxhash64 bit votes)."""
+    import re
+    nt = re.sub(r"\s+", " ", text.lower()).strip()
+    ws = nt.split(" ")
+    if len(ws) >= ngram:
+        grams = list(dict.fromkeys(
+            " ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)))
+    else:
+        grams = [nt]
+    hs = [xxh64(g.encode("utf-8")) for g in grams]
+    out = 0
+    for b in range(64):
+        votes = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if votes > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_xxh64_matches_spark(spark):
+    samples = ["", "a", "hello world", "the quick brown fox", "x" * 100,
+               "päge ünïcode ☃ content"]
+    got = spark.createDataFrame([(s,) for s in samples], "s string") \
+        .select(F.xxhash64("s").alias("h")).collect()
+    for s, r in zip(samples, got):
+        expect = xxh64(s.encode("utf-8"))
+        expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+        assert r["h"] == expect, f"xxh64 mismatch for {s!r}"
+
+
+def test_simhash_values_match_python_oracle(spark, docs):
+    got = {r["doc_id"]: r["sh"] for r in
+           docs.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _simhash_py(text), f"simhash mismatch doc {doc_id}"
+
+
+def test_dedup_releases_caches(spark, docs):
+    D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.0).collect()
+    # the NEXT dedup call releases the previous call's caches ...
+    D.lsh_candidate_pairs(docs, "doc_id").collect()
+    # ... and explicit release clears the rest: nothing stays pinned.
+    assert D.release_caches() > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_banded_lsh_finds_exact_dups_and_bounds_candidates(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 200, 10)]  # 20 exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.cosine_dup_pairs(df, threshold=0.99, dim=64, bits=16, bands=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    for i in range(0, 200, 10):
+        assert (i, 1000 + i) in got     # identical vectors collide in every band
+    # sharp buckets: random non-dup vectors should almost never pair up
+    assert len(got) <= 25

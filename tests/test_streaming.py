@@ -105,3 +105,34 @@ def test_in_stream_watermark_dedup(spark, tmpdir_path):
                               dedup_within_watermark="1 hour")
     assert sum(s.events_in for s in stats) == 400       # dupes gone pre-merge
     assert state(spark, table) == oracle_state(ev)
+
+
+def test_stream_mode_applies_transform(spark, tmpdir_path):
+    """ADVICE fix: configured transform used to be silently ignored in
+    stream mode — it must run against every micro-batch before the MERGE."""
+    log, table, ckpt, ev = setup(spark, tmpdir_path, n_events=300, n_urls=40)
+    append_events(ev, log, segment_partitions=2)
+    run_to_completion(spark, log, table, ckpt,
+                      transform_fn=lambda df: df.withColumn(
+                          "lang", F.upper("lang")))
+    langs = {r["lang"] for r in LakeTable(spark, table).read()
+             .select("lang").distinct().collect()}
+    assert langs and all(v == v.upper() for v in langs)
+
+
+def test_cli_stream_mode_plumbs_transform(spark, tmpdir_path):
+    """End-to-end through the CLI config path (cmd_run -> _transform_fn ->
+    run_to_completion)."""
+    from tinyetl_spark.cli import cmd_run
+    from tinyetl_spark.config import Endpoint, JobConfig
+    log, table, ckpt, ev = setup(spark, tmpdir_path, n_events=200, n_urls=30)
+    append_events(ev, log, segment_partitions=2)
+    cfg = JobConfig(source=Endpoint(uri=log), target=Endpoint(uri=table),
+                    transform="lang = upper(lang)")
+    cfg.mode = "stream"
+    cfg.checkpoint_dir = ckpt
+    rc = cmd_run(cfg)
+    assert rc == 0
+    langs = {r["lang"] for r in LakeTable(spark, table).read()
+             .select("lang").distinct().collect()}
+    assert langs and all(v == v.upper() for v in langs)

@@ -25,35 +25,55 @@ from tinyetl_spark.session import get_spark
 from tinyetl_spark.transform import TransformSpec, load_python_transform
 
 
-def _build_df(spark, cfg: JobConfig):
-    from tinyetl_spark.sources.files import read_source
-    df = read_source(spark, cfg.source.uri, options=cfg.source.options,
-                     infer_schema=cfg.infer_schema,
-                     date_sniff=cfg.source.options.get("date_sniff") == "true")
+def _transform_fn(cfg: JobConfig):
+    """validate(schema) → transform stage as a df->df callable, or None.
+    Shared by batch mode (applied to the source frame) and stream mode
+    (applied to every micro-batch before the MERGE)."""
+    stages = []
     if cfg.schema_file:
         import yaml
         from tinyetl_spark.schema import DeclaredSchema
         with open(cfg.schema_file) as f:
             ds = DeclaredSchema.from_dict(yaml.safe_load(f))
-        df = ds.apply(df)
+        stages.append(ds.apply)
     if cfg.transform_file:
         if cfg.transform_file.endswith(".py"):
-            df = load_python_transform(cfg.transform_file)(df)
+            stages.append(load_python_transform(cfg.transform_file))
         else:
-            df = TransformSpec.parse_file(cfg.transform_file).apply(df)
+            stages.append(TransformSpec.parse_file(cfg.transform_file).apply)
     elif cfg.transform:
         # inline mode: derive/overlay only, never filters (reference
         # README.md:585)
         spec = TransformSpec.parse_inline(cfg.transform)
         spec.where = None
-        df = spec.apply(df)
-    return df
+        stages.append(spec.apply)
+    if not stages:
+        return None
+
+    def fn(df):
+        for s in stages:
+            df = s(df)
+        return df
+    return fn
+
+
+def _build_df(spark, cfg: JobConfig):
+    from tinyetl_spark.sources.files import read_source
+    df = read_source(spark, cfg.source.uri, options=cfg.source.options,
+                     infer_schema=cfg.infer_schema,
+                     date_sniff=cfg.source.options.get("date_sniff") == "true")
+    fn = _transform_fn(cfg)
+    return fn(df) if fn else df
 
 
 def cmd_run(cfg: JobConfig) -> int:
     spark = get_spark(app_name="tinyetl-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    df = _build_df(spark, cfg)
+    # stream mode never materializes the source as a batch frame; preview/
+    # dry-run still do (they print schema + sample regardless of mode).
+    df = None
+    if cfg.mode != "stream" or cfg.preview or cfg.dry_run:
+        df = _build_df(spark, cfg)
 
     if cfg.preview:
         print("schema:")
@@ -82,7 +102,8 @@ def cmd_run(cfg: JobConfig) -> int:
             key_col=cfg.key_col, num_buckets=cfg.num_buckets)
         stats = run_to_completion(
             spark, cfg.source.uri, cfg.target.uri, cfg.checkpoint_dir,
-            max_files_per_trigger=cfg.max_files_per_trigger)
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            transform_fn=_transform_fn(cfg))
         n = sum(s.events_in for s in stats)
         el = time.time() - t0
         print(f"applied {n} events in {len(stats)} batches, "

@@ -13,29 +13,44 @@ Equivalent Iceberg SQL (what this compiles to on a real catalog)::
         THEN UPDATE SET *          -- including _deleted for tombstones
     WHEN NOT MATCHED THEN INSERT *
 
-Implementation is a bucket-pruned copy-on-write tuned to exactly THREE
-Spark jobs per micro-batch (driver fixed costs + per-task overheads are
-the scaling ceiling of a streaming pipeline — every saved job and every
-avoided task is throughput; an earlier cached-multi-action shape spent
-HALF its task time on task-deserialization lock contention):
+Two write strategies, chosen per batch (``mode='auto'``):
 
-1. per-bucket histogram of the batch → events_in + touched buckets;
-2. ONE linear pipeline with ONE shuffle and no caching: union(current
-   rows of touched buckets, batch) → repartition by bucket → sort within
-   partitions (url ASC, warc_ts DESC, event_seq DESC) → a single fused
-   mapInPandas pass doing LWW dedup (duplicates are adjacent; O(1)
-   last-url carry across Arrow chunks) + vectorized text extraction for
-   winning batch rows only → plain parquet write with no second exchange
-   (no Hive partitionBy — measured ~10x the write cost for many small
-   partitions);
-3. columnar read-back of the fresh files: one aggregation yields manifest
-   bucket-sets, per-bucket lineage, and upsert/delete/skew stats.
+- **copy-on-write** (sparse batches): read ONLY the buckets the batch's
+  urls hash into (manifest pruning), merge, rewrite those buckets. Cost is
+  O(touched data), so a batch that hits 3 of 4096 buckets rewrites ~0.07%
+  of a 100 TB table.
+- **merge-on-read** (dense batches into a large table): the batch's LWW
+  winners are appended as *delta* files (Iceberg MOR analogue); the base
+  is untouched — write cost is O(batch), never O(table). Readers resolve
+  LWW across base+delta (one window); ``compact()`` / the next COW merge
+  absorbs the deltas. Without this, a uniform CDC stream at 10^10 events
+  rewrites the whole table every micro-batch (copy-on-write amplification).
 
-Untouched buckets' files carry over into the new snapshot unchanged
-(manifest-level partition pruning: at 100 TB with 4096 buckets a
-micro-batch rewrites only the buckets its urls hash into). The atomic
-snapshot commit carries the (stream_id → batch_id) epoch fence and the
-lineage rows.
+The hot path is tuned to exactly ONE Spark job per dense micro-batch
+(driver fixed costs and job-submission latency are the scaling ceiling of
+a streaming pipeline — measured 1-2 s/batch of serial section at round 1,
+capping N->4N core-scaling efficiency at 0.52):
+
+- the old per-batch histogram/count probe job is gone on the dense path
+  (touch-all is assumed; it is a superset and always correct);
+- the single linear pipeline: union(current rows of touched buckets,
+  batch) -> ONE shuffle on the bucket -> sort within partitions (url ASC,
+  warc_ts DESC, event_seq DESC) -> a fused mapInPandas pass doing LWW
+  dedup (duplicates are adjacent; O(1) last-url carry across Arrow chunks)
+  + vectorized text extraction for winning batch rows only -> plain
+  parquet write with no second exchange (no Hive partitionBy — measured
+  ~10x the write cost for many small partitions);
+- the old read-back job is gone: merge stats and per-bucket lineage ride
+  a per-slot accumulator SNAPSHOT (the fused pass registers its slot's
+  stats once; a retried task *replaces* its slot entry instead of adding,
+  so stats stay exact under retries), and the file->buckets manifest is
+  computed arithmetically — partition index = pmod(murmur3(bucket), slots)
+  replicates Spark's HashPartitioning driver-side (bit-exact, see
+  tests/test_merge.py::test_slot_mapping_matches_files).
+
+Untouched buckets' files carry over into the new snapshot unchanged.
+The atomic snapshot commit carries the (stream_id -> batch_id) epoch fence
+and the lineage rows.
 
 Exactly-once: if foreachBatch retries a batch, either the fence shows it
 committed (skip), or the merge re-runs — and re-running is a no-op because
@@ -45,15 +60,18 @@ LWW over (warc_ts, event_seq) is idempotent.
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass, asdict
 from typing import Any
 
 import pyspark.sql.functions as F
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from tinyetl_spark.lake.table import LakeTable, conform
+from tinyetl_spark.partitioning import slot_for_bucket
 
 
 @dataclass
@@ -68,12 +86,28 @@ class MergeStats:
     skew_ratio: float
     fenced: bool = False
     snapshot_version: int | None = None
+    strategy: str = "cow"
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)
 
 
 FENCE_PREFIX = "fence."
+LAST_IN_PROP = "last_events_in"
+
+
+class _SlotStatsParam(AccumulatorParam):
+    """{slot -> {bucket -> [in_events, rows_out, batch_events, deletes]}}.
+
+    addInPlace REPLACES per-slot entries (each task reports its whole
+    slot exactly once), so a retried/speculative task cannot double-count."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
 
 
 def last_committed_batch(table: LakeTable, stream_id: str) -> int:
@@ -82,7 +116,7 @@ def last_committed_batch(table: LakeTable, stream_id: str) -> int:
 
 def dedup_batch(batch: DataFrame, key: str = "url") -> DataFrame:
     """Last-writer-wins winner per key within a batch (stand-alone use;
-    merge_apply folds this into its single window pass)."""
+    merge_apply folds this into its single fused pass)."""
     w = Window.partitionBy(key).orderBy(
         F.col("warc_ts").desc(), F.col("event_seq").desc())
     return (batch.withColumn("_rn", F.row_number().over(w))
@@ -91,7 +125,10 @@ def dedup_batch(batch: DataFrame, key: str = "url") -> DataFrame:
 
 def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
                 stream_id: str = "default",
-                extract: bool = True, transform_fn=None) -> MergeStats:
+                extract: bool = True, transform_fn=None,
+                mode: str = "auto",
+                mor_table_batch_ratio: float = 4.0,
+                max_delta_files: int | None = None) -> MergeStats:
     """Apply one micro-batch of change events to the table.
 
     ``batch`` columns: event_seq, url, warc_ts, op, html, lang (+ extras
@@ -101,6 +138,13 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     inside the fused merge pass (vectorized pandas, byte-identical to the
     reference extractor). ``transform_fn(df) -> df`` is an optional
     df-level hook applied to the batch BEFORE merging (custom stages).
+
+    ``mode``: 'cow' | 'mor' | 'auto'. Auto picks merge-on-read when the
+    batch is dense (previous merge touched most buckets) AND the table is
+    >= ``mor_table_batch_ratio`` x the previous batch size (rewriting it
+    would dwarf the batch), AND the accumulated delta-file debt is below
+    ``max_delta_files`` (default 4*num_buckets) — past that the next merge
+    does copy-on-write, which absorbs all deltas of the touched buckets.
     """
     timing = os.environ.get("TINYETL_MERGE_TIMING") == "1"
     tmarks = [("start", time.time())]
@@ -111,85 +155,104 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
 
     snap = table.snapshot()
     key = snap.key_col
+    num_b = snap.num_buckets
     mark("snapshot")
 
     # ---- epoch fence: skip replayed batches that already committed
     if batch_id <= last_committed_batch(table, stream_id):
-        return MergeStats(batch_id, 0, 0, 0, 0, 0, snap.num_buckets, 0.0,
+        return MergeStats(batch_id, 0, 0, 0, 0, 0, num_b, 0.0,
                           fenced=True, snapshot_version=snap.version)
 
     if transform_fn is not None:
         batch = transform_fn(batch)
 
-    # ---- job 1: events_in + touched buckets.
-    # Adaptive pruning probe: the per-bucket histogram is only worth a
-    # job when batches are SPARSE relative to the bucket count (then the
-    # copy-on-write can skip most of the table). When the previous merge
-    # touched most buckets, assume touch-all (always correct — a superset
-    # of the real touch set) and pay only a metadata-cheap count().
+    # ---- strategy choice (all driver-side, zero jobs)
     prev_active = int(snap.summary.get("active_buckets", 0))
-    dense = prev_active > 0.5 * snap.num_buckets
-    if dense:
-        events_in = batch.count()   # parquet footer count, no column scan
-        touched = set(range(snap.num_buckets))
+    dense = prev_active > 0.5 * num_b
+    table_rows = int(snap.summary.get("total_rows", 0))
+    prev_in = int(snap.properties.get(LAST_IN_PROP, 0))
+    delta_debt = sum(1 for f in snap.files if f.get("delta"))
+    debt_cap = max_delta_files if max_delta_files is not None else 4 * num_b
+    if mode == "mor":
+        use_mor = True
+    elif mode == "auto":
+        use_mor = (dense and delta_debt < debt_cap
+                   and table_rows > mor_table_batch_ratio * max(prev_in, 1))
+    else:
+        use_mor = False
+
+    events_in: int | None = None
+    if use_mor or dense:
+        # touch-all is a correct superset; skipping the histogram probe
+        # saves one Spark job per batch (the probe only pays off when the
+        # batch is SPARSE and copy-on-write can prune most of the table).
+        touched = set(range(num_b))
     else:
         pre = (batch.groupBy(table.bucket_expr().alias("b")).count().collect())
         events_in = sum(int(r["count"]) for r in pre)
         touched = {int(r["b"]) for r in pre}
-    mark("job1_probe")
-    if events_in == 0:
-        committed = table.commit(
-            files=snap.files,
-            summary={"operation": "merge", "stream_id": stream_id,
-                     "batch_id": batch_id, "events_in": 0},
-            properties={FENCE_PREFIX + stream_id: batch_id})
-        return MergeStats(batch_id, 0, 0, 0, 0, 0, snap.num_buckets, 0.0,
-                          snapshot_version=committed.version)
+        mark("job1_probe")
+        if events_in == 0:
+            committed = table.commit(
+                files=snap.files,
+                summary={"operation": "merge", "stream_id": stream_id,
+                         "batch_id": batch_id, "events_in": 0,
+                         "active_buckets": prev_active,
+                         "total_rows": table_rows},
+                properties={FENCE_PREFIX + stream_id: batch_id,
+                            LAST_IN_PROP: 0},
+                expected_base=snap.version)
+            return MergeStats(batch_id, 0, 0, 0, 0, 0, num_b, 0.0,
+                              snapshot_version=committed.version)
 
-    # touch-closure: a data file may hold >1 bucket (logical bucketing);
-    # rewriting bucket 5 out of a {5,9} file requires rewriting bucket 9
-    # too, else 9's rows would survive in both old and new files. Fixpoint
-    # over the manifest's bucket-sets (driver-side, tiny).
-    while True:
-        grown = set(touched)
-        for f in snap.files:
-            bs = set(f["buckets"])
-            if bs & grown:
-                grown |= bs
-        if grown == touched:
-            break
-        touched = grown
+    if not use_mor:
+        # touch-closure: a data file may hold >1 bucket (slot collisions);
+        # rewriting bucket 5 out of a {5,9} file requires rewriting bucket
+        # 9 too, else 9's rows would survive in both old and new files.
+        # Fixpoint over the manifest's bucket-sets (driver-side, tiny).
+        while True:
+            grown = set(touched)
+            for f in snap.files:
+                bs = set(f["buckets"])
+                if bs & grown:
+                    grown |= bs
+            if grown == touched:
+                break
+            touched = grown
 
-    # ---- job 2 (ONE linear pipeline, ONE shuffle, no caching):
-    # current(touched) ∪ batch → repartition by bucket → sort within
-    # partitions by (url ASC, warc_ts DESC, event_seq DESC, _src ASC) →
-    # one vectorized mapInPandas pass doing LWW-dedup (duplicates are
-    # adjacent after the sort; an O(1) last-url carry handles Arrow chunk
-    # boundaries) + text extraction for winning batch rows → parquet write
-    # with NO second shuffle (output partitioning == bucket partitioning).
+    # ---- THE job (ONE linear pipeline, ONE shuffle, no caching):
+    # [current(touched) ∪] batch -> repartition by bucket -> sort within
+    # partitions by (url ASC, warc_ts DESC, event_seq DESC, _src ASC) ->
+    # one vectorized mapInPandas pass doing LWW-dedup + text extraction
+    # for winning batch rows -> parquet write with NO second shuffle.
     #
     # Design note: expressing LWW as Window.partitionBy(url) forces a
     # second exchange (Catalyst can't prove hash(bucket(url)) clusters
     # url), and a separate ArrowEvalPython stage doubles the Python
-    # round-trips — fused, the merge is scan → shuffle → pandas → write.
+    # round-trips — fused, the merge is scan -> shuffle -> pandas -> write.
     schema_cols = [f.name for f in snap.schema.fields]
-    cur = (table.read(buckets=touched, include_tombstones=True)
-                .withColumn("_src", F.lit(0)))
     b = (conform(batch.withColumn("_deleted", F.col("op") == F.lit("delete")),
                  snap.schema)
          .withColumn("_src", F.lit(1)))
+    if use_mor:
+        unioned_src = b
+    else:
+        cur = (table.read(buckets=touched, include_tombstones=True,
+                          resolve=False)
+                    .withColumn("_src", F.lit(0)))
+        unioned_src = cur.unionByName(b)
     # one write slot per touched bucket: file layout (and therefore all
     # future read/list work) is a function of the DATA, never of the
     # cluster size — otherwise a bigger cluster writes more, smaller
     # files per batch and pays for it on every later read.
     slots = max(len(touched), 1)
-    unioned = (cur.unionByName(b)
-                  .withColumn("_bucket", table.bucket_expr())
-                  .repartition(slots, "_bucket")
-                  .sortWithinPartitions(F.col(key).asc(),
-                                        F.col("warc_ts").desc(),
-                                        F.col("event_seq").desc(),
-                                        F.col("_src").asc()))
+    unioned = (unioned_src
+               .withColumn("_bucket", table.bucket_expr())
+               .repartition(slots, "_bucket")
+               .sortWithinPartitions(F.col(key).asc(),
+                                     F.col("warc_ts").desc(),
+                                     F.col("event_seq").desc(),
+                                     F.col("_src").asc()))
     out_cols = schema_cols + ["_src", "_bucket"]
     do_extract = extract is not False and "text" in schema_cols \
         and "html" in schema_cols
@@ -198,13 +261,25 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         + [StructField("_src", IntegerType(), False),
            StructField("_bucket", LongType(), False)])
 
+    acc = table.spark.sparkContext.accumulator({}, _SlotStatsParam())
+
     def lww_extract(batches):
-        import pandas as pd
+        import pandas as pd  # noqa: F401 (worker-side)
+        from pyspark import TaskContext
         from tinyetl_spark.extract import extract_series
         last_url = None
+        stats: dict[int, list[int]] = {}
+
+        def bucket_stats(bkt):
+            return stats.setdefault(int(bkt), [0, 0, 0, 0])
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            src1 = pdf[pdf["_src"] == 1]
+            if len(src1):
+                for bkt, cnt in src1["_bucket"].value_counts().items():
+                    bucket_stats(bkt)[0] += int(cnt)
             keep = pdf.drop_duplicates(subset=[key], keep="first")
             if last_url is not None and len(keep) and keep.iloc[0][key] == last_url:
                 keep = keep.iloc[1:]
@@ -216,72 +291,106 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
                 if mask.any():
                     keep = keep.copy()
                     keep.loc[mask, "text"] = extract_series(keep.loc[mask, "html"])
+            kb = keep["_src"] == 1
+            kd = kb & keep["_deleted"].fillna(False).astype(bool)
+            grp = keep.groupby("_bucket", sort=False)
+            for bkt, idx in grp.indices.items():
+                s = bucket_stats(bkt)
+                s[1] += len(idx)
+                s[2] += int(kb.iloc[idx].sum())
+                s[3] += int(kd.iloc[idx].sum())
             yield keep[out_cols]
+        tc = TaskContext.get()
+        acc.add({int(tc.partitionId()): stats})
 
     out = unioned.select(*out_cols).mapInPandas(lww_extract, schema=out_schema)
-    next_v = table.current_version() + 1
-    out_dir = table.new_data_dir(next_v)
+    out_dir = table.new_data_dir(snap.version + 1)
     mark("plan_built")
     sess = table.spark
     aqe_before = sess.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         # fixed-shape query (explicit repartition, fixed slot count): AQE
-        # cannot improve it and its per-stage re-planning adds latency to
-        # every micro-batch.
+        # cannot improve it, its per-stage re-planning adds latency to
+        # every micro-batch, and partition coalescing would break the
+        # slot->file index arithmetic below.
         sess.conf.set("spark.sql.adaptive.enabled", "false")
         out.write.mode("append").parquet(out_dir)
     finally:
         sess.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    mark("job_write")
 
-    mark("job2_write")
-    # ---- job 3: columnar read-back of the fresh files -> manifest
-    # entries, per-bucket lineage, and merge stats in one tiny aggregation.
-    rb = (table.spark.read.parquet(out_dir)
-          .groupBy(F.input_file_name().alias("file"),
-                   F.col("_bucket").alias("bucket"))
-          .agg(F.count("*").alias("rows"),
-               F.sum("_src").alias("from_batch"),
-               F.sum(F.when((F.col("_src") == 1) & F.col("_deleted"), 1)
-                     .otherwise(0)).alias("deletes"))
-          .collect())
-    per_file: dict[str, list[int]] = {}
-    per_bucket: dict[int, dict[str, int]] = {}
-    for r in rb:
-        path = r["file"]
-        path = path[7:] if path.startswith("file://") else path
-        bkt = int(r["bucket"])
-        per_file.setdefault(path, []).append(bkt)
-        pb = per_bucket.setdefault(bkt, {"rows": 0, "events": 0})
-        pb["rows"] += int(r["rows"])
-        pb["events"] += int(r["from_batch"])
-    new_entries = [{"path": p, "buckets": sorted(bs),
-                    "schema_version": snap.schema_version}
-                   for p, bs in per_file.items()]
-    applied = sum(int(r["from_batch"]) for r in rb)
-    deletes = sum(int(r["deletes"]) for r in rb)
-    batch_counts = [v["events"] for v in per_bucket.values() if v["events"]]
+    # ---- driver-side bookkeeping: NO extra Spark job.
+    slot_stats: dict[int, dict[int, list[int]]] = dict(acc.value)
+    per_bucket: dict[int, list[int]] = {}
+    for st in slot_stats.values():
+        for bkt, s in st.items():
+            agg = per_bucket.setdefault(bkt, [0, 0, 0, 0])
+            for i in range(4):
+                agg[i] += s[i]
+    if events_in is None:
+        events_in = sum(s[0] for s in per_bucket.values())
+    applied = sum(s[2] for s in per_bucket.values())
+    deletes = sum(s[3] for s in per_bucket.values())
+    written_rows = sum(s[1] for s in per_bucket.values())
+
+    # manifest entries: part-file index == shuffle partition index (plain
+    # parquet write, one file per non-empty partition), and the buckets of
+    # slot k are exactly those with pmod(murmur3(bucket), slots) == k.
+    new_entries = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        m = re.match(r"part-(\d+)-", fn)
+        if not m:
+            continue
+        k = int(m.group(1))
+        st = slot_stats.get(k)
+        if st is not None:
+            bs = sorted(bkt for bkt, s in st.items() if s[1] > 0)
+            rows = sum(s[1] for s in st.values())
+        else:  # accumulator lost (shouldn't happen) -> correct superset
+            bs = sorted(bkt for bkt in touched
+                        if slot_for_bucket(bkt, slots) == k)
+            rows = 0
+        entry = {"path": os.path.join(out_dir, fn), "buckets": bs,
+                 "rows": rows, "schema_version": snap.schema_version}
+        if use_mor:
+            entry["delta"] = True
+        new_entries.append(entry)
+
+    if use_mor:
+        carried = list(snap.files)
+        total_rows = table_rows + written_rows
+    else:
+        carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
+        total_rows = (sum(int(f.get("rows") or 0) for f in carried)
+                      + written_rows)
+    batch_counts = [s[2] for s in per_bucket.values() if s[2]]
     skew = (max(batch_counts) / (sum(batch_counts) / len(batch_counts))
             if batch_counts else 0.0)
-    lineage = [{"bucket": b, **v} for b, v in sorted(per_bucket.items())]
+    lineage = [{"bucket": bkt, "rows": s[1], "events": s[2]}
+               for bkt, s in sorted(per_bucket.items())]
+    active_buckets = sum(1 for s in per_bucket.values() if s[2])
 
-    mark("job3_readback")
-    carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
-    active_buckets = sum(1 for v in per_bucket.values() if v["events"])
     stats = MergeStats(
         batch_id=batch_id, events_in=events_in,
         dedup_drops=events_in - applied, upserts=applied - deletes,
         deletes=deletes, touched_buckets=len(touched),
-        total_buckets=snap.num_buckets, skew_ratio=round(skew, 3))
+        total_buckets=num_b, skew_ratio=round(skew, 3),
+        strategy="mor" if use_mor else "cow")
     committed = table.commit(
         files=carried + new_entries,
         summary={"operation": "merge", "stream_id": stream_id,
-                 "active_buckets": active_buckets, **stats.to_dict()},
-        properties={FENCE_PREFIX + stream_id: batch_id},
-        lineage=lineage)
+                 "active_buckets": active_buckets, "total_rows": total_rows,
+                 **stats.to_dict()},
+        properties={FENCE_PREFIX + stream_id: batch_id,
+                    LAST_IN_PROP: events_in},
+        lineage=lineage, expected_base=snap.version)
     stats.snapshot_version = committed.version
     mark("commit")
     if timing:
         segs = ", ".join(f"{lbl}={t1 - t0:.2f}s" for (_, t0), (lbl, t1)
                          in zip(tmarks, tmarks[1:]))
-        print(f"[merge-timing] batch={batch_id} {segs}", flush=True)
+        print(f"[merge-timing] batch={batch_id} strategy={stats.strategy} {segs}",
+              flush=True)
     return stats

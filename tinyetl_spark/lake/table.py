@@ -45,6 +45,12 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 VERSION_FILE = "VERSION"
 
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer's snapshot read and its
+    commit — the Iceberg validated-swap failure. The caller must re-read
+    the table and re-plan (or re-run the idempotent merge)."""
+
 # Allowed type widenings (Iceberg-spec compatible promotions).
 _WIDEN_OK = {
     ("integer", "long"), ("integer", "double"), ("long", "double"),
@@ -144,9 +150,20 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return Snapshot.from_json(f.read())
 
+    def oldest_version(self) -> int:
+        """Oldest snapshot still on disk (older ones were expired)."""
+        versions = [int(fn[1:-5]) for fn in os.listdir(self.meta_dir)
+                    if fn.startswith("v") and fn.endswith(".json")
+                    and fn[1:-5].isdigit()]
+        return min(versions) if versions else 0
+
+    def versions(self) -> range:
+        """Iterable of LIVE snapshot versions (post-expiry safe)."""
+        return range(self.oldest_version(), self.current_version() + 1)
+
     def history(self) -> list[dict[str, Any]]:
         out = []
-        for v in range(self.current_version() + 1):
+        for v in self.versions():
             s = self.snapshot(v)
             out.append({"version": v, "timestamp_ms": s.timestamp_ms,
                         "summary": s.summary})
@@ -174,8 +191,18 @@ class LakeTable:
                schema_version: int | None = None,
                new_schema: StructType | None = None,
                properties: dict[str, Any] | None = None,
-               lineage: list[dict[str, Any]] | None = None) -> Snapshot:
+               lineage: list[dict[str, Any]] | None = None,
+               expected_base: int | None = None) -> Snapshot:
         base = self.snapshot()
+        # Validated swap: ``files`` was computed against ``expected_base``;
+        # if someone committed in between, blindly committing would silently
+        # drop their files from the manifest — fail instead (caller retries
+        # against the fresh snapshot). O_EXCL alone only catches two writers
+        # racing on the SAME version number.
+        if expected_base is not None and base.version != expected_base:
+            raise ConcurrentCommitError(
+                f"table advanced to v{base.version} (expected v{expected_base}) "
+                f"between plan and commit; re-read and retry")
         schemas = dict(base.schemas)
         sv = base.schema_version if schema_version is None else schema_version
         if new_schema is not None:
@@ -201,7 +228,7 @@ class LakeTable:
         return F.pmod(F.xxhash64(c), F.lit(num_buckets or snap.num_buckets))
 
     def read(self, version: int | None = None, buckets: set[int] | None = None,
-             include_tombstones: bool = False) -> DataFrame:
+             include_tombstones: bool = False, resolve: bool = True) -> DataFrame:
         """Snapshot read with manifest-level bucket pruning and
         union-by-name schema conformance across file schema versions.
 
@@ -209,7 +236,13 @@ class LakeTable:
         does not intersect ``buckets`` (file pruning — no IO at all);
         (2) a residual row filter on the stored ``_bucket`` column for
         files that hold more than one bucket.
-        """
+
+        If the snapshot carries merge-on-read *delta* files, the read
+        resolves last-writer-wins across base+delta per key (one window
+        on (warc_ts DESC, event_seq DESC)) BEFORE the tombstone filter —
+        resolving after filtering would resurrect rows an in-delta delete
+        shadows. ``resolve=False`` returns the raw union (the merge path
+        does its own fused LWW and must see every version)."""
         snap = self.snapshot(version)
         files = snap.files
         if buckets is not None:
@@ -236,7 +269,18 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-        if not include_tombstones and "_deleted" in {f.name for f in cur.fields}:
+        names = {f.name for f in cur.fields}
+        if resolve and any(f.get("delta") for f in files):
+            if not {"warc_ts", "event_seq"} <= names:
+                raise ValueError(
+                    "delta files present but table lacks the LWW ordering "
+                    "columns (warc_ts, event_seq)")
+            from pyspark.sql import Window
+            w = Window.partitionBy(snap.key_col).orderBy(
+                F.col("warc_ts").desc(), F.col("event_seq").desc())
+            df = (df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+        if not include_tombstones and "_deleted" in names:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
 
@@ -321,10 +365,11 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> Snapshot:
         """Full-table replace (used for initial loads / compaction)."""
-        next_v = self.current_version() + 1
-        entries = self.write_data(conform(df, self.snapshot().schema), next_v)
+        base_v = self.current_version()
+        entries = self.write_data(conform(df, self.snapshot().schema), base_v + 1)
         return self.commit(files=entries,
-                           summary={"operation": "overwrite", **(summary or {})})
+                           summary={"operation": "overwrite", **(summary or {})},
+                           expected_base=base_v)
 
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
         """Retire old snapshots and delete data files no LIVE snapshot
@@ -363,7 +408,8 @@ class LakeTable:
         """Rewrite all live data into one file-set — bounds small-file
         accumulation from many micro-batch commits (Iceberg rewrite_data_files
         analogue). Run out-of-band, not on the streaming hot path."""
+        base_v = self.current_version()
         df = self.read(include_tombstones=True)
-        next_v = self.current_version() + 1
-        entries = self.write_data(df, next_v)
-        return self.commit(files=entries, summary={"operation": "compact"})
+        entries = self.write_data(df, base_v + 1)
+        return self.commit(files=entries, summary={"operation": "compact"},
+                           expected_base=base_v)

@@ -24,9 +24,10 @@ LINEAGE_SCHEMA = "version int, bucket int, rows long, events long"
 
 
 def merge_metrics(table: LakeTable) -> DataFrame:
-    """One row per merge commit."""
+    """One row per LIVE merge commit (snapshots removed by
+    expire_snapshots are skipped — iteration starts at oldest_version)."""
     rows = []
-    for v in range(table.current_version() + 1):
+    for v in table.versions():
         s = table.snapshot(v)
         if s.summary.get("operation") != "merge":
             continue
@@ -48,7 +49,7 @@ def bucket_lineage(table: LakeTable) -> DataFrame:
     """One row per (commit, bucket): rows now in the bucket + events this
     commit applied to it."""
     rows = []
-    for v in range(table.current_version() + 1):
+    for v in table.versions():
         s = table.snapshot(v)
         for e in s.lineage:
             rows.append((v, int(e["bucket"]), int(e.get("rows", 0)),

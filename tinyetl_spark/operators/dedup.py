@@ -27,6 +27,28 @@ from pyspark.sql import Column, DataFrame, Window
 from tinyetl_spark import hof
 from tinyetl_spark.operators.text import norm_text
 
+# --- cache lifecycle -----------------------------------------------------
+# The LSH pipeline persists two intermediates (shingles, band-exploded
+# rows) because each is consumed by several joins of one query. In a
+# long-lived session (the streaming driver) leaking them pins executor
+# memory forever, so each public dedup call FIRST releases the previous
+# call's caches; ``release_caches()`` frees the last query's too.
+_live_caches: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _live_caches.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every frame cached by dedup queries; returns the count."""
+    n = len(_live_caches)
+    while _live_caches:
+        _live_caches.pop().unpersist()
+    return n
+
 
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct) of normalized text."""
@@ -69,8 +91,8 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     Folding the shingle expression into every downstream consumer would
     blow the expression tree past whole-stage-codegen limits (observed:
     interpreted fallback, ~20ms/row) and recompute it per join side."""
-    return df.select(F.col(id_col).alias("doc"),
-                     shingles(F.col(text_col), k).alias("sh")).persist()
+    return _persist(df.select(F.col(id_col).alias("doc"),
+                              shingles(F.col(text_col), k).alias("sh")))
 
 
 def _band_df(sh_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -94,7 +116,7 @@ def _band_df(sh_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 
 def _lsh_pairs(band_df: DataFrame, max_bucket: int) -> DataFrame:
-    exploded = band_df.persist()
+    exploded = _persist(band_df)
     # cap pathological buckets (boilerplate explosion guard): a bucket with
     # >max_bucket members would create O(n^2) pairs; at web scale such a
     # bucket means near-identical boilerplate — handled by exact dedup.
@@ -121,6 +143,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     single bucket key and self-join per band (shuffle on the bucket key,
     never an all-pairs cross join).
     """
+    release_caches()
     return _lsh_pairs(_band_df(_shingle_df(df, id_col, text_col, k),
                                num_hashes, bands), max_bucket)
 
@@ -131,6 +154,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         max_bucket: int = 1000) -> DataFrame:
     """Near-duplicate pairs with exact shingle-Jaccard >= threshold,
     candidate-filtered by LSH (never all-pairs)."""
+    release_caches()
     sh = _shingle_df(df, id_col, text_col, k)
     cands = _lsh_pairs(_band_df(sh, num_hashes, bands), max_bucket)
     j = (cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -138,8 +162,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    return (j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-             .filter(F.col("jaccard") >= threshold)
+    # threshold on the UNROUNDED value (a raw jaccard just below the
+    # threshold must not round its way in); round only in the projection.
+    return (j.filter(jac >= threshold)
+             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
              .orderBy("doc_a", "doc_b"))
 
 
@@ -154,18 +180,26 @@ def simhash64(col: Column, ngram: int = 2) -> Column:
                                                          for j in range(ngram)])))
                    ).otherwise(F.array(norm_text(col)))
     hashes = hof.transform(grams, lambda g: F.xxhash64(g))
-    # for each bit b: votes = sum(sign of bit) ; bit set iff votes > 0
-    bits = []
-    for b in range(64):
-        vote = hof.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h, bb=b: acc + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1,
-                                              F.lit(1)).otherwise(F.lit(-1)))
-        bits.append(F.when(vote > 0, F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
-    return out
+    # ONE traversal of the gram-hash array: fold a 64-wide vote-counter
+    # array (+1 if the bit is set, -1 otherwise per gram), then pack
+    # "votes > 0" bits into a long. The earlier shape (64 sibling
+    # ``aggregate`` HOFs) re-traversed the array 64x per row and risked
+    # interpreted (non-codegen) fallback from the giant expression tree.
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    votes = hof.aggregate(
+        hashes, F.array_repeat(F.lit(0), 64),
+        lambda acc, h: hof.zip_with(
+            acc, bit_idx,
+            lambda c, b: c + F.when(
+                F.call_function("shiftright", h, b.cast("int"))
+                 .bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))))
+    packed = hof.zip_with(
+        votes, bit_idx,
+        lambda v, b: F.when(
+            v > 0, F.call_function("shiftleft", F.lit(1).cast("long"),
+                                   b.cast("int"))).otherwise(F.lit(0).cast("long")))
+    return hof.aggregate(packed, F.lit(0).cast("long"),
+                         lambda a, x: a.bitwiseOR(x))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",

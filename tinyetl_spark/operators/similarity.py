@@ -98,18 +98,65 @@ def rp_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
                 .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"))
 
 
+def _plane_coeffs(g: int, dim: int) -> list[float]:
+    """+-1 components of global plane ``g``, derived from the FIRST HEX
+    CHAR of md5("g:d") — chosen so a SQL oracle reproduces it verbatim:
+    substr(md5(..),1,1) <= '7'."""
+    import hashlib
+    return [1.0 if hashlib.md5(f"{g}:{d}".encode()).hexdigest()[0] <= "7"
+            else -1.0 for d in range(dim)]
+
+
+def rp_band_buckets(vec: Column, dim: int, bits: int, bands: int) -> Column:
+    """array<struct<band:int, bucket:long>> — banded sign-LSH signature.
+
+    ``bands`` independent ``bits``-bit buckets (plane for band b, bit i is
+    global plane g = b*bits + i). Candidates OR across bands (MinHash-band
+    style), so recall survives sharp (>=16-bit) buckets: a near-dup pair
+    only needs ONE band to agree on all its bits. All bands*bits plane
+    dots are computed in one literal-2D-array transform (single traversal
+    per plane; no 64-sibling-fold expression blow-up)."""
+    planes = F.array(*[
+        F.array(*[F.lit(c) for c in _plane_coeffs(g, dim)])
+        for g in range(bands * bits)])
+    dots = hof.transform(planes, lambda p: _dot(vec, p))
+    entries = []
+    for b in range(bands):
+        bucket = hof.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)), F.lit(0).cast("long"),
+            lambda acc, i, bb=b: acc + F.when(
+                F.element_at(dots, (F.lit(bb * bits) + i + 1).cast("int")) >= 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                i.cast("int"))).otherwise(F.lit(0).cast("long")))
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, dim: int = 64,
-                     bits: int = 8, id_col: str = "vec_id",
+                     bits: int = 16, bands: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicate pairs (a < b) with cosine >= threshold,
-    candidate-filtered by the sign-LSH bucket (not all-pairs)."""
-    sig = rp_signature(F.col(vec_col), dim, bits)
-    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
-                     sig.alias("bucket"))
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    candidate-filtered by banded sign-LSH (never all-pairs).
+
+    Scale shape: 2^bits buckets per band keeps candidate sets tiny
+    (expected O(n^2 / 2^bits) per band, vs O(n^2/16) at the old bits=4),
+    while OR-ing ``bands`` independent bands keeps recall: identical /
+    near-identical vectors agree on every plane and always collide."""
+    sig = rp_band_buckets(F.col(vec_col), dim, bits, bands)
+    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    tagged = (df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+                .select("doc", F.explode("sig").alias("bb"))
+                .select("doc", F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket")))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc") < F.col("b.doc")))
-    return (pairs.withColumn("cos", cosine(F.col("a.vec"), F.col("b.vec")))
-                 .filter(F.col("cos") >= threshold)
-                 .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                         F.round("cos", 6).alias("cos")))
+             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+             .distinct())
+    va = base.select(F.col("doc").alias("doc_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"))
+    cos = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (cand.join(va, "doc_a").join(vb, "doc_b")
+                .filter(cos >= threshold)
+                .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))

@@ -25,6 +25,51 @@ def bucket_for(col: Column, num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(num_buckets))
 
 
+# --------------------------------------------------- shuffle-slot arithmetic
+# Driver-side replica of Spark's HashPartitioning for a single LONG column:
+# partition index = pmod(Murmur3_x86_32.hashLong(v, seed=42), numPartitions).
+# This lets the merge compute WHICH output partition (and therefore which
+# part-NNNNN file) every bucket lands in without reading anything back —
+# verified bit-exact against F.hash()/repartition() in tests/test_merge.py.
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    return (_rotl32(k1, 15) * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 = _rotl32(h1 ^ k1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def murmur3_long(v: int, seed: int = 42) -> int:
+    """Murmur3_x86_32.hashLong — equals Spark's ``F.hash(long_col)``."""
+    v &= (1 << 64) - 1
+    h1 = _mix_h1(seed, _mix_k1(v & _M32))
+    h1 = _mix_h1(h1, _mix_k1((v >> 32) & _M32))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def slot_for_bucket(bucket: int, slots: int) -> int:
+    """Output partition index of ``repartition(slots, "_bucket")`` for a
+    row whose _bucket == bucket (pmod of the signed murmur3 hash)."""
+    h = murmur3_long(bucket)
+    return ((h % slots) + slots) % slots
+
+
 def with_salt(df: DataFrame, key: str, salt_n: int = 8,
               salt_col: str = "_salt") -> DataFrame:
     """Deterministic row-level salt (hash of the whole row id-space would

@@ -80,6 +80,8 @@ def run_pipeline(
     extract: bool = True,
     dedup_within_watermark: str | None = None,
     query_name: str = "tinyetl-cdc",
+    transform_fn=None,
+    merge_mode: str = "auto",
 ) -> PipelineRun:
     """Start the CDC stream into an existing LakeTable at ``table_path``."""
     table = LakeTable(spark, table_path)
@@ -98,7 +100,8 @@ def run_pipeline(
         # fresh handle per batch: foreachBatch may run on a recovered query
         t = LakeTable(spark, table_path)
         stats = merge_apply(t, batch_df, batch_id, stream_id=stream_id,
-                            extract=extract)
+                            extract=extract, transform_fn=transform_fn,
+                            mode=merge_mode)
         run_stats.append(stats)
 
     writer = (events.writeStream
