@@ -21,6 +21,11 @@ EDGE_CASES = [
     b"<div><p>nested<span>tags</span></p></div>",
     b"<p>unclosed tag <b>bold",
     b"<!-- comment --><p>after</p>",
+    # adversarial entity sequences: the fused single-pass substitution in
+    # extract_series must match the reference's sequential replaces
+    # (&amp; last) — neither may rescan its own output.
+    b"&amp;lt;x&amp;gt; &amp;quot; &amp;amp; &amp;#39;",
+    b"&amp;&amp;lt;&lt;&amp;gt;",
 ]
 
 

@@ -47,18 +47,35 @@ def reference_extract_text(html: bytes | None) -> str | None:
     return _RE_WS.sub(" ", s).strip()
 
 
+# Entity substitution fused into ONE pass: a regex alternation is
+# equivalent to the sequential replaces (with &amp; LAST) because neither
+# rescans its own output — "&amp;lt;" yields "&lt;" under both. The
+# byte-equality tests cover this adversarial case explicitly.
+_RE_ENT = re.compile("|".join(re.escape(e) for e, _ in _ENTITIES))
+_ENT_MAP = dict(_ENTITIES)
+
+
+def _extract_one(b) -> str | None:
+    if b is None:
+        return None
+    s = bytes(b).replace(b"\x00", b"").decode("utf-8", errors="replace")
+    s = _RE_SCRIPT.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _RE_ENT.sub(lambda m: _ENT_MAP[m.group(0)], s)
+    return _RE_WS.sub(" ", s).strip()
+
+
 def extract_series(html: "pd.Series") -> "pd.Series":
     """Vectorized extraction over a pandas Series of bytes — the single
     production implementation, shared by the scalar pandas UDF and the
     merge pipeline's mapInPandas pass. Same compiled patterns as the
-    reference function, so bytes cannot diverge."""
-    s = html.map(lambda b: None if b is None
-                 else bytes(b).replace(b"\x00", b"").decode("utf-8", errors="replace"))
-    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
-    s = s.str.replace(_RE_TAG, " ", regex=True)
-    for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+    reference function, so bytes cannot diverge.
+
+    One fused pass per value instead of 6 whole-Series ``.str`` passes:
+    per-value temporaries stay cache-hot, where series-wide passes stream
+    every intermediate string through memory 6x — measured as the main
+    scaling-limiting memory traffic on a shared-bandwidth host."""
+    return html.map(_extract_one)
 
 
 @pandas_udf(StringType())

@@ -34,12 +34,18 @@ capping N->4N core-scaling efficiency at 0.52):
 - the old per-batch histogram/count probe job is gone on the dense path
   (touch-all is assumed; it is a superset and always correct);
 - the single linear pipeline: union(current rows of touched buckets,
-  batch) -> ONE shuffle on the bucket -> sort within partitions (url ASC,
-  warc_ts DESC, event_seq DESC) -> a fused mapInPandas pass doing LWW
-  dedup (duplicates are adjacent; O(1) last-url carry across Arrow chunks)
-  + vectorized text extraction for winning batch rows only -> plain
-  parquet write with no second exchange (no Hive partitionBy — measured
-  ~10x the write cost for many small partitions);
+  batch) -> ONE shuffle on the bucket -> sort within partitions (_bucket,
+  url ASC, warc_ts DESC, event_seq DESC) -> LWW dedup as a JVM lag()
+  window whose (partition, order) spec matches the shuffle+sort exactly
+  (Catalyst adds no exchange and no sort; verified in the plan) -> ONLY
+  the winners cross into a pandas pass (stats + vectorized text
+  extraction for winning batch rows) -> plain parquet write with no
+  second exchange (no Hive partitionBy — measured ~10x the write cost
+  for many small partitions). Deduping JVM-side instead of in pandas
+  cuts the Arrow JVM<->Python traffic ~3.6x — on a shared-memory host
+  that traffic is the scaling-limiting resource;
+- ``events_in`` rides the scan as an observed metric (df.observe), so
+  even the batch-size count costs no job;
 - the old read-back job is gone: merge stats and per-bucket lineage ride
   a per-slot accumulator SNAPSHOT (the fused pass registers its slot's
   stats once; a retried task *replaces* its slot entry instead of adding,
@@ -97,7 +103,7 @@ LAST_IN_PROP = "last_events_in"
 
 
 class _SlotStatsParam(AccumulatorParam):
-    """{slot -> {bucket -> [in_events, rows_out, batch_events, deletes]}}.
+    """{slot -> {bucket -> [rows_out, batch_events, deletes]}}.
 
     addInPlace REPLACES per-slot entries (each task reports its whole
     slot exactly once), so a retried/speculative task cannot double-count."""
@@ -246,13 +252,33 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     # cluster size — otherwise a bigger cluster writes more, smaller
     # files per batch and pays for it on every later read.
     slots = max(len(touched), 1)
+    from pyspark.sql import Observation
+    obs = Observation()
+    # events_in rides the scan as an observed metric — no counting job.
     unioned = (unioned_src
                .withColumn("_bucket", table.bucket_expr())
+               .observe(obs, F.sum("_src").cast("long").alias("events_in"))
                .repartition(slots, "_bucket")
-               .sortWithinPartitions(F.col(key).asc(),
+               .sortWithinPartitions(F.col("_bucket").asc(),
+                                     F.col(key).asc(),
                                      F.col("warc_ts").desc(),
                                      F.col("event_seq").desc(),
                                      F.col("_src").asc()))
+    # LWW dedup stays JVM-side: a lag() window whose (partition, order)
+    # spec exactly matches the shuffle partitioning + sort above, so
+    # Catalyst adds NO extra exchange and NO extra sort — the winner per
+    # url is simply the first row of its run. Only WINNERS cross into
+    # Python (for text extraction + stats): ~3-4x less Arrow traffic than
+    # deduping in pandas, and the JVM window is Tungsten-tight. On this
+    # host that traffic is the scaling-limiting shared resource (measured:
+    # identical work costs +17% core-seconds at 8 threads, +28% at 16).
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col(key).asc(), F.col("warc_ts").desc(),
+        F.col("event_seq").desc(), F.col("_src").asc())
+    winners = (unioned
+               .withColumn("_prev", F.lag(key).over(w))
+               .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(key)))
+               .drop("_prev"))
     out_cols = schema_cols + ["_src", "_bucket"]
     do_extract = extract is not False and "text" in schema_cols \
         and "html" in schema_cols
@@ -263,27 +289,16 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
 
     acc = table.spark.sparkContext.accumulator({}, _SlotStatsParam())
 
-    def lww_extract(batches):
+    def stats_extract(batches):
         import pandas as pd  # noqa: F401 (worker-side)
         from pyspark import TaskContext
         from tinyetl_spark.extract import extract_series
-        last_url = None
         stats: dict[int, list[int]] = {}
 
         def bucket_stats(bkt):
-            return stats.setdefault(int(bkt), [0, 0, 0, 0])
+            return stats.setdefault(int(bkt), [0, 0, 0])   # rows, events, deletes
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            src1 = pdf[pdf["_src"] == 1]
-            if len(src1):
-                for bkt, cnt in src1["_bucket"].value_counts().items():
-                    bucket_stats(bkt)[0] += int(cnt)
-            keep = pdf.drop_duplicates(subset=[key], keep="first")
-            if last_url is not None and len(keep) and keep.iloc[0][key] == last_url:
-                keep = keep.iloc[1:]
-            last_url = pdf.iloc[-1][key]
+        for keep in batches:
             if len(keep) == 0:
                 continue
             if do_extract:
@@ -296,14 +311,14 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             grp = keep.groupby("_bucket", sort=False)
             for bkt, idx in grp.indices.items():
                 s = bucket_stats(bkt)
-                s[1] += len(idx)
-                s[2] += int(kb.iloc[idx].sum())
-                s[3] += int(kd.iloc[idx].sum())
+                s[0] += len(idx)
+                s[1] += int(kb.iloc[idx].sum())
+                s[2] += int(kd.iloc[idx].sum())
             yield keep[out_cols]
         tc = TaskContext.get()
         acc.add({int(tc.partitionId()): stats})
 
-    out = unioned.select(*out_cols).mapInPandas(lww_extract, schema=out_schema)
+    out = winners.select(*out_cols).mapInPandas(stats_extract, schema=out_schema)
     out_dir = table.new_data_dir(snap.version + 1)
     mark("plan_built")
     sess = table.spark
@@ -324,14 +339,15 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     per_bucket: dict[int, list[int]] = {}
     for st in slot_stats.values():
         for bkt, s in st.items():
-            agg = per_bucket.setdefault(bkt, [0, 0, 0, 0])
-            for i in range(4):
+            agg = per_bucket.setdefault(bkt, [0, 0, 0])
+            for i in range(3):
                 agg[i] += s[i]
+    observed = obs.get.get("events_in")
     if events_in is None:
-        events_in = sum(s[0] for s in per_bucket.values())
-    applied = sum(s[2] for s in per_bucket.values())
-    deletes = sum(s[3] for s in per_bucket.values())
-    written_rows = sum(s[1] for s in per_bucket.values())
+        events_in = int(observed or 0)
+    applied = sum(s[1] for s in per_bucket.values())
+    deletes = sum(s[2] for s in per_bucket.values())
+    written_rows = sum(s[0] for s in per_bucket.values())
 
     # manifest entries: part-file index == shuffle partition index (plain
     # parquet write, one file per non-empty partition), and the buckets of
@@ -346,8 +362,8 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         k = int(m.group(1))
         st = slot_stats.get(k)
         if st is not None:
-            bs = sorted(bkt for bkt, s in st.items() if s[1] > 0)
-            rows = sum(s[1] for s in st.values())
+            bs = sorted(bkt for bkt, s in st.items() if s[0] > 0)
+            rows = sum(s[0] for s in st.values())
         else:  # accumulator lost (shouldn't happen) -> correct superset
             bs = sorted(bkt for bkt in touched
                         if slot_for_bucket(bkt, slots) == k)
@@ -365,12 +381,12 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
         total_rows = (sum(int(f.get("rows") or 0) for f in carried)
                       + written_rows)
-    batch_counts = [s[2] for s in per_bucket.values() if s[2]]
+    batch_counts = [s[1] for s in per_bucket.values() if s[1]]
     skew = (max(batch_counts) / (sum(batch_counts) / len(batch_counts))
             if batch_counts else 0.0)
-    lineage = [{"bucket": bkt, "rows": s[1], "events": s[2]}
+    lineage = [{"bucket": bkt, "rows": s[0], "events": s[1]}
                for bkt, s in sorted(per_bucket.items())]
-    active_buckets = sum(1 for s in per_bucket.values() if s[2])
+    active_buckets = sum(1 for s in per_bucket.values() if s[1])
 
     stats = MergeStats(
         batch_id=batch_id, events_in=events_in,

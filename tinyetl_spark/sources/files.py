@@ -31,14 +31,20 @@ from tinyetl_spark.date_parser import might_be_date, parse_or_keep
 
 _FILE_FORMATS = {".csv": "csv", ".tsv": "csv", ".json": "json",
                  ".ndjson": "json", ".parquet": "parquet", ".avro": "avro"}
-_JDBC_SCHEMES = {"jdbc", "postgresql", "postgres", "mysql", "sqlite",
+_JDBC_SCHEMES = {"jdbc", "postgresql", "postgres", "mysql",
                  "mssql", "sqlserver", "odbc"}
+_SQLITE_EXTS = {".sqlite", ".sqlite3", ".db"}
 
 
 def detect_format(uri: str, explicit: str | None = None) -> str:
     if explicit:
         return explicit
     parsed = urlparse(uri)
+    if parsed.scheme in ("http", "https"):
+        return "http"
+    if parsed.scheme == "sqlite" or \
+            os.path.splitext(uri.partition("#")[0])[1].lower() in _SQLITE_EXTS:
+        return "sqlite"
     if parsed.scheme in _JDBC_SCHEMES:
         return "jdbc"
     path = parsed.path or uri
@@ -85,12 +91,30 @@ def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
     if fmt == "avro":
         try:
             return spark.read.format("avro").options(**options).load(uri)
-        except Exception as e:  # AnalysisException: module not deployed
-            raise RuntimeError(
-                "avro requires the spark-avro data source "
-                "(org.apache.spark:spark-avro) on the classpath; it is not "
-                "bundled in this deployment") from e
+        except Exception:  # spark-avro not deployed -> pure-Python fallback
+            from tinyetl_spark.sources.avro_py import read_avro
+            return read_avro(spark, uri)
+    if fmt == "http":
+        from tinyetl_spark.sources.http import read_http
+        return read_http(spark, uri, options=options,
+                         infer_schema=infer_schema, date_sniff=date_sniff)
+    if fmt == "sqlite":
+        from tinyetl_spark.sources.sqlite_py import read_sqlite, split_sqlite_uri
+        path, table = split_sqlite_uri(uri)
+        table = options.get("table", table)
+        if not table:
+            raise ValueError("sqlite source needs a table: 'db.sqlite#tbl'")
+        return read_sqlite(
+            spark, path, table,
+            num_partitions=int(options["num_partitions"]) if "num_partitions" in options else None,
+            partition_column=options.get("partition_column"),
+            lower_bound=int(options["lower_bound"]) if "lower_bound" in options else None,
+            upper_bound=int(options["upper_bound"]) if "upper_bound" in options else None)
     if fmt == "jdbc":
+        # partitioned parallel read when the caller provides the standard
+        # partitionColumn/lowerBound/upperBound/numPartitions options — the
+        # Spark analogue of the reference's keyset pagination
+        # (odbc.rs:233-256); driver jars must be deployed on the cluster.
         return spark.read.format("jdbc").option("url", uri).options(**options).load()
     if fmt == "eventlog":
         from tinyetl_spark.sources.eventlog import read_event_log
@@ -141,11 +165,17 @@ def write_sink(df: DataFrame, uri: str, fmt: str | None = None,
     elif fmt == "avro":
         try:
             df.write.mode(mode).format("avro").options(**options).save(uri)
-        except Exception as e:
-            raise RuntimeError(
-                "avro requires the spark-avro data source "
-                "(org.apache.spark:spark-avro) on the classpath; it is not "
-                "bundled in this deployment") from e
+        except Exception:  # spark-avro not deployed -> pure-Python fallback
+            from tinyetl_spark.sources.avro_py import write_avro
+            write_avro(df, uri, mode=mode,
+                       codec=options.get("compression", "deflate"))
+    elif fmt == "sqlite":
+        from tinyetl_spark.sources.sqlite_py import split_sqlite_uri, write_sqlite
+        path, table = split_sqlite_uri(uri)
+        table = options.get("table", table)
+        if not table:
+            raise ValueError("sqlite sink needs a table: 'db.sqlite#tbl'")
+        write_sqlite(df, path, table, truncate=truncate)
     elif fmt == "jdbc":
         (df.write.format("jdbc").option("url", uri)
            .options(**options).mode("overwrite" if truncate else mode).save())

@@ -21,6 +21,11 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
 
 
 def audit(name, df):
+    # Execute BEFORE explaining: with AQE on, the pre-execution plan is
+    # AdaptiveSparkPlan(isFinalPlan=false) with NO codegen annotations —
+    # auditing it reports codegen_spans=0 for plainly codegen-able plans.
+    # After an action the final plan carries the [codegen id : N] marks.
+    df.count()
     plan = df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -28,7 +33,8 @@ def audit(name, df):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     bhj = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
     smj = plan.count("SortMergeJoin")
-    wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+    wsc = len(set(re.findall(r"codegen id\s*:\s*(\d+)", plan)))
+    wsc = wsc or plan.count("WholeStageCodegen")
     arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
     print(f"== {name}")
     print(f"   pushed_filters={len(pushed)} broadcast_joins={bhj} "
