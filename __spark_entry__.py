@@ -204,6 +204,28 @@ def q_rollup_lineitem(spark, sf_dir):
                   F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (distinct from rollup/cube: an arbitrary
+    set list), via Spark SQL over a temp view."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql("""
+        select l_returnflag, l_linestatus, count(*) as n,
+               round(sum(l_extendedprice), 4) as sum_price
+        from gs_lineitem
+        group by grouping sets ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """)
+
+
+def q_orders_with_lineitem_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): orders having at least one high-quantity
+    lineitem — the semi-join physical path, distinct from anti."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+             .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
+
+
 def q_events_windowed(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -260,6 +282,7 @@ def text_profile(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     c = F.col("text")
     return d.select("doc_id", T.token_count(c).alias("n_tokens"),
+                    T.bpe_token_estimate(c).alias("n_bpe"),
                     T.lang_id(c).alias("lang_pred"),
                     T.quality_score(c).alias("quality"),
                     T.fingerprint(c).alias("fp"))
@@ -411,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top3_customers_per_nation": q_top3_customers_per_nation,
         "q_customers_without_orders": q_customers_without_orders,
         "q_rollup_lineitem": q_rollup_lineitem,
+        "q_grouping_sets": q_grouping_sets,
+        "q_orders_with_lineitem_semi": q_orders_with_lineitem_semi,
         "q_events_windowed": q_events_windowed,
         "q_events_sessionized": q_events_sessionized,
         "q_json_props": q_json_props,
@@ -490,6 +515,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 4) as sum_qty
             from lineitem group by rollup (l_returnflag, l_linestatus)
         """,
+        "q_grouping_sets": """
+            select l_returnflag, l_linestatus, count(*) as n,
+                   round(sum(l_extendedprice), 4) as sum_price
+            from lineitem
+            group by grouping sets ((l_returnflag), (l_linestatus),
+                                    (l_returnflag, l_linestatus))
+        """,
+        "q_orders_with_lineitem_semi": """
+            select o_orderkey, o_totalprice from orders
+            where exists (select 1 from lineitem
+                          where l_orderkey = o_orderkey and l_quantity >= 48)
+            order by o_orderkey
+        """,
         "q_events_windowed": """
             select time_bucket(interval '1 hour', ts) as win_start, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
@@ -546,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(nt, '\b(el|y|los)\b', 1))::bigint as h_es
               from n)
             select doc_id, n_tokens,
+              len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))::bigint as n_bpe,
               case when h_en > 0 and h_en >= h_de and h_en >= h_fr and h_en >= h_es then 'en'
                    when h_de > 0 and h_de >= h_fr and h_de >= h_es then 'de'
                    when h_fr > 0 and h_fr >= h_es then 'fr'

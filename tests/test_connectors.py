@@ -117,3 +117,24 @@ def test_http_read_source_end_to_end(spark, tmpdir_path):
     assert df.count() == 2
     types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     assert types["joined"] in ("timestamp", "date")
+
+
+def test_duckdb_partitioned_roundtrip(spark, tmpdir_path):
+    """reference connectors/duckdb.rs:116-354 — rowid-ranged parallel scan
+    + single-writer sink through the db.duckdb#table URI shape."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i / 7.0) for i in range(300)],
+        "id long, name string, score double")
+    uri = f"{tmpdir_path}/d.duckdb#items"
+    write_sink(df, uri)
+    back = read_source(spark, uri, options={"num_partitions": "4"})
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 300
+    r = {x["id"]: x for x in back.collect()}
+    assert r[13]["name"] == "n13" and abs(r[13]["score"] - 13 / 7.0) < 1e-9
+    # append + truncate lifecycle
+    write_sink(df, uri)
+    assert read_source(spark, uri).count() == 600
+    write_sink(df, uri, truncate=True)
+    assert read_source(spark, uri).count() == 300
+    assert detect_format("x.duckdb#t") == "duckdb"

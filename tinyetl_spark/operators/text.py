@@ -40,6 +40,19 @@ def token_count(col: Column) -> Column:
     return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("long")
 
 
+# BPE-style pre-tokenization (the GPT-2 pattern's regex-only core): runs
+# of letters, runs of digits, single non-space punctuation — a much better
+# LLM-token-cost estimate than whitespace words (punctuation and numbers
+# tokenize separately). Pure Catalyst regexp, reproducible in DuckDB.
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Approximate LLM token count via BPE-ish pre-tokenization pieces."""
+    return F.size(F.regexp_extract_all(norm_text(col), F.lit(_BPE_PAT),
+                                       F.lit(0))).cast("long")
+
+
 def marker_hits(col: Column, words: list[str]) -> Column:
     """Total occurrences of any marker word (word-boundary regex)."""
     pat = r"\b(" + "|".join(words) + r")\b"
@@ -90,6 +103,7 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns in one pass."""
     c = F.col(text_col)
     return (df.withColumn("n_tokens", token_count(c))
+              .withColumn("n_bpe", bpe_token_estimate(c))
               .withColumn("lang_pred", lang_id(c))
               .withColumn("quality", quality_score(c))
               .withColumn("fp", fingerprint(c)))

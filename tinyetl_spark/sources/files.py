@@ -34,6 +34,7 @@ _FILE_FORMATS = {".csv": "csv", ".tsv": "csv", ".json": "json",
 _JDBC_SCHEMES = {"jdbc", "postgresql", "postgres", "mysql",
                  "mssql", "sqlserver", "odbc"}
 _SQLITE_EXTS = {".sqlite", ".sqlite3", ".db"}
+_DUCKDB_EXTS = {".duckdb", ".ddb"}
 
 
 def detect_format(uri: str, explicit: str | None = None) -> str:
@@ -42,9 +43,11 @@ def detect_format(uri: str, explicit: str | None = None) -> str:
     parsed = urlparse(uri)
     if parsed.scheme in ("http", "https"):
         return "http"
-    if parsed.scheme == "sqlite" or \
-            os.path.splitext(uri.partition("#")[0])[1].lower() in _SQLITE_EXTS:
+    ext_nofrag = os.path.splitext(uri.partition("#")[0])[1].lower()
+    if parsed.scheme == "sqlite" or ext_nofrag in _SQLITE_EXTS:
         return "sqlite"
+    if parsed.scheme == "duckdb" or ext_nofrag in _DUCKDB_EXTS:
+        return "duckdb"
     if parsed.scheme in _JDBC_SCHEMES:
         return "jdbc"
     path = parsed.path or uri
@@ -110,6 +113,16 @@ def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
             partition_column=options.get("partition_column"),
             lower_bound=int(options["lower_bound"]) if "lower_bound" in options else None,
             upper_bound=int(options["upper_bound"]) if "upper_bound" in options else None)
+    if fmt == "duckdb":
+        from tinyetl_spark.sources.duckdb_py import read_duckdb
+        from tinyetl_spark.sources.sqlite_py import split_sqlite_uri
+        path, table = split_sqlite_uri(uri.replace("duckdb://", "", 1))
+        table = options.get("table", table)
+        if not table:
+            raise ValueError("duckdb source needs a table: 'db.duckdb#tbl'")
+        return read_duckdb(
+            spark, path, table,
+            num_partitions=int(options["num_partitions"]) if "num_partitions" in options else None)
     if fmt == "jdbc":
         # partitioned parallel read when the caller provides the standard
         # partitionColumn/lowerBound/upperBound/numPartitions options — the
@@ -176,6 +189,14 @@ def write_sink(df: DataFrame, uri: str, fmt: str | None = None,
         if not table:
             raise ValueError("sqlite sink needs a table: 'db.sqlite#tbl'")
         write_sqlite(df, path, table, truncate=truncate)
+    elif fmt == "duckdb":
+        from tinyetl_spark.sources.duckdb_py import write_duckdb
+        from tinyetl_spark.sources.sqlite_py import split_sqlite_uri
+        path, table = split_sqlite_uri(uri.replace("duckdb://", "", 1))
+        table = options.get("table", table)
+        if not table:
+            raise ValueError("duckdb sink needs a table: 'db.duckdb#tbl'")
+        write_duckdb(df, path, table, truncate=truncate)
     elif fmt == "jdbc":
         (df.write.format("jdbc").option("url", uri)
            .options(**options).mode("overwrite" if truncate else mode).save())
