@@ -21,11 +21,13 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
 
 
 def audit(name, df):
-    # Execute BEFORE explaining: with AQE on, the pre-execution plan is
-    # AdaptiveSparkPlan(isFinalPlan=false) with NO codegen annotations —
-    # auditing it reports codegen_spans=0 for plainly codegen-able plans.
-    # After an action the final plan carries the [codegen id : N] marks.
-    df.count()
+    # Execute THIS df's own queryExecution before explaining: with AQE on,
+    # the pre-execution plan is AdaptiveSparkPlan(isFinalPlan=false) with
+    # NO codegen annotations — auditing it reports codegen_spans=0 for
+    # plainly codegen-able plans. (A .count() is NOT enough: it wraps the
+    # df in a new Dataset and executes THAT plan, leaving this one
+    # unfinalized — the round-1 bug.)
+    df.collect()
     plan = df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
