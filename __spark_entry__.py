@@ -407,6 +407,33 @@ def ann_embedding_dups(spark, sf_dir):
                               dim=64, bits=16, bands=4)
 
 
+def q_asof_last_click(spark, sf_dir):
+    """AS-OF join: for each purchase event, the same user's most recent
+    click at or before it (union + last_value composition — one shuffle,
+    never the O(L*R) inequality join). Oracle: DuckDB's native ASOF JOIN,
+    an independent implementation of the same semantics."""
+    from tinyetl_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    left_time="ts", right_time="click_ts",
+                    value_cols=["click_ts"])
+    return (out.select("event_id", "user_id", "ts",
+                       F.col("click_ts_asof").alias("last_click_ts"))
+               .orderBy("event_id"))
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cells from deterministic seed centroids,
+    nprobe-cell probe, exact re-rank — the inverted-file scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return S.ivf_topk(e, q, k=10, n_centroids=16, nprobe=4)
+
+
 def q_approx_distinct(spark, sf_dir):
     """Sketch aggregate (approx_count_distinct / HLL). Approximate by
     nature -> rows-only driver check; the pytest suite bounds its error
@@ -450,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_events": q_cube_events,
         "stream_windowed_counts": stream_windowed_counts,
         "ann_embedding_dups": ann_embedding_dups,
+        "q_asof_last_click": q_asof_last_click,
+        "ann_ivf_topk": ann_ivf_topk,
         "q_approx_distinct": q_approx_distinct,
     }
 
@@ -717,6 +746,60 @@ def oracle_sql() -> dict[str, str]:
                    join corpus ca on ca.vec_id = p.doc_a
                    join corpus cb on cb.vec_id = p.doc_b)
             select doc_a, doc_b, round(cos, 6) as cos from scored where cos >= 0.2
+        """,
+        "q_asof_last_click": """
+            with p as (select event_id, user_id, ts from events
+                       where event_type = 'purchase'),
+                 c as (select user_id, ts as click_ts from events
+                       where event_type = 'click')
+            select p.event_id, p.user_id, p.ts, c.click_ts as last_click_ts
+            from p asof left join c
+              on p.user_id = c.user_id and p.ts >= c.click_ts
+            order by p.event_id
+        """,
+        "ann_ivf_topk": """
+            with cents as (
+              select vec_id as cid, embedding as cvec
+              from embeddings order by vec_id limit 16),
+            base as (select vec_id as neighbor_id, embedding as nvec
+                     from embeddings),
+            assign as (
+              select neighbor_id, nvec, cid as cell from (
+                select b.neighbor_id, b.nvec, c.cid,
+                  row_number() over (partition by b.neighbor_id order by
+                    (list_dot_product(b.nvec::DOUBLE[], c.cvec::DOUBLE[]) /
+                     (sqrt(list_dot_product(b.nvec::DOUBLE[], b.nvec::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])))) desc,
+                    c.cid asc) as rn
+                from base b, cents c) where rn = 1),
+            q as (select vec_id as query_id, embedding as qvec
+                  from embeddings where vec_id < 5),
+            probes as (
+              select query_id, qvec, cid as cell from (
+                select q.query_id, q.qvec, c.cid,
+                  row_number() over (partition by q.query_id order by
+                    (list_dot_product(q.qvec::DOUBLE[], c.cvec::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])))) desc,
+                    c.cid asc) as rn
+                from q, cents c) where rn <= 4),
+            cand as (
+              select p.query_id, p.qvec, a.neighbor_id, a.nvec
+              from probes p join assign a
+                on a.cell = p.cell and a.neighbor_id <> p.query_id),
+            scored as (
+              select query_id, neighbor_id,
+                     (list_dot_product(qvec::DOUBLE[], nvec::DOUBLE[]) /
+                      (sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))
+                       * sqrt(list_dot_product(nvec::DOUBLE[], nvec::DOUBLE[])))) as cos
+              from cand),
+            ranked as (
+              select query_id, neighbor_id, cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) as rank
+              from scored)
+            select query_id, neighbor_id, round(cos, 6) as cos, rank
+            from ranked where rank <= 10
         """,
         # q_approx_distinct: HLL sketch is approximate -> rows-only check.
         # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)

@@ -240,3 +240,39 @@ def test_banded_lsh_finds_exact_dups_and_bounds_candidates(spark):
         assert (i, 1000 + i) in got     # identical vectors collide in every band
     # sharp buckets: random non-dup vectors should almost never pair up
     assert len(got) <= 25
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+    from tinyetl_spark.operators.asof import asof_join
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (2, 10, t(5)), (3, 10, t(2)), (4, 99, t(30))],
+        "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t(3), "a"), (10, t(5), "b"), (10, t(20), "c"), (77, t(1), "x")],
+        "k long, rts timestamp, v string")
+    out = {r["id"]: r["v_asof"] for r in
+           asof_join(left, right, on=["k"], left_time="ts", right_time="rts",
+                     value_cols=["v"]).collect()}
+    assert out[1] == "b"      # latest at-or-before t10 is t5
+    assert out[2] == "b"      # INCLUSIVE: right row at exactly t5 matches
+    assert out[3] is None     # earliest right row (t3) is after t2
+    assert out[4] is None     # key with no right rows at all
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import random
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(df, q, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.ivf_topk(df, q, k=10, n_centroids=8, nprobe=4).collect()}
+    # probing half the cells must recover a solid fraction of true top-10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # every query produced a full ranked list from the probed cells
+    assert len(approx) == 30

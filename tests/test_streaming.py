@@ -136,3 +136,31 @@ def test_cli_stream_mode_plumbs_transform(spark, tmpdir_path):
     langs = {r["lang"] for r in LakeTable(spark, table).read()
              .select("lang").distinct().collect()}
     assert langs and all(v == v.upper() for v in langs)
+
+
+def test_stateful_url_stats_converges_to_batch(spark, tmpdir_path):
+    """applyInPandasWithState custom stateful operator: the converged
+    streaming profile must equal the batch groupBy over the same log —
+    including across a resume (state restored from the checkpoint)."""
+    from tinyetl_spark.streaming.stateful import (batch_url_stats,
+                                                  run_url_stats_to_completion)
+    log, _, ckpt, ev = setup(spark, tmpdir_path, n_events=600, n_urls=80)
+    first = ev.filter("event_seq < 300")
+    second = ev.filter("event_seq >= 300")
+    append_events(first, log, segment_partitions=2)
+    got1 = run_url_stats_to_completion(spark, log, ckpt, query_name="us1")
+    append_events(second, log, segment_partitions=2)
+    got2 = run_url_stats_to_completion(spark, log, ckpt, query_name="us2")
+    # update mode emits only keys with new data per run; the converged
+    # view is the latest (max n_events — monotone) row per key across runs
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy(F.desc("n_events"))
+    got = (got1.unionByName(got2)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter("_rn = 1").drop("_rn"))
+    want = batch_url_stats(read_event_log(spark, log))
+    g = sorted((r["url"], r["n_events"], r["n_deletes"], r["last_warc_us"])
+               for r in got.collect())
+    w = sorted((r["url"], r["n_events"], r["n_deletes"], r["last_warc_us"])
+               for r in want.collect())
+    assert g == w

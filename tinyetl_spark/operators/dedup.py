@@ -61,13 +61,17 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 def minhash_signature(col: Column, num_hashes: int = 12, k: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values: lexicographic min of
-    md5(i || ':' || shingle) over the shingle set."""
+    md5(i || ':' || shingle) over the shingle set (single-pass fold;
+    empty shingle sets yield the "g" sentinel, which sorts after every
+    md5 hex digest)."""
     sh = shingles(col, k)
-    sig = [
-        F.array_min(hof.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sig)
+    hash_idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return hof.aggregate(
+        sh, F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, s: hof.zip_with(
+            acc, hash_idx,
+            lambda m, i: F.least(
+                m, F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -90,7 +94,17 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Materialized (doc, shingles) frame — computed ONCE and persisted.
     Folding the shingle expression into every downstream consumer would
     blow the expression tree past whole-stage-codegen limits (observed:
-    interpreted fallback, ~20ms/row) and recompute it per join side."""
+    interpreted fallback, ~20ms/row) and recompute it per join side.
+
+    The shingle+md5 expression is the CPU-heavy stage (~ms/row), so it
+    must not inherit the scan's partitioning: a small corpus file is a
+    single input split, which serializes the whole stage onto one core
+    (measured 12.7s -> 1.3s at sf0.1 after spreading). Repartition up to
+    the cluster's parallelism when the source is under-partitioned."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return _persist(df.select(F.col(id_col).alias("doc"),
                               shingles(F.col(text_col), k).alias("sh")))
 
@@ -98,11 +112,19 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
 def _band_df(sh_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, bucket) rows from materialized shingles."""
     rows_per_band = num_hashes // bands
-    sig = F.array(*[
-        F.array_min(hof.transform(
-            F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ])
+    # ONE traversal of the shingle array computing all num_hashes mins
+    # (fold a running-min array) instead of num_hashes sibling
+    # array_min(transform(...)) calls that each re-walk the array —
+    # same md5 count, 12x fewer passes and a far smaller expression tree.
+    # Init is "g" (> every md5 hex char), so an empty shingle set yields a
+    # constant signature — it groups exactly like the old all-NULL one.
+    hash_idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = hof.aggregate(
+        F.col("sh"), F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, s: hof.zip_with(
+            acc, hash_idx,
+            lambda m, i: F.least(
+                m, F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
     base = sh_df.select("doc", sig.alias("sig"))
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -206,6 +228,10 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                        band_bits: int = 16) -> DataFrame:
     """Near-dup candidates: equal 16-bit SimHash band (4 bands over 64
     bits) — the banded hamming-LSH scheme."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < target:   # same under-partitioned-scan
+        df = df.repartition(target)          # hazard as _shingle_df
     s = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh"))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1

@@ -44,8 +44,8 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     (excluding itself). Output: (query_id, neighbor_id, cos, rank)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
-    base = df.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).alias("nvec"))
+    base = _spread(df).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("nvec"))
     scored = (base.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
                   .withColumn("cos", cosine(F.col("qvec"), F.col("nvec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -84,8 +84,8 @@ def rp_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     the query; exact cosine re-rank inside the bucket. Recall < 1 by
     design; the bench compares it against brute force."""
     sig = rp_signature(F.col(vec_col), dim, bits)
-    base = df.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).alias("nvec"), sig.alias("bucket"))
+    base = _spread(df).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("nvec"), sig.alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"), sig.alias("qbucket"))
     cand = base.join(F.broadcast(q),
@@ -107,19 +107,35 @@ def _plane_coeffs(g: int, dim: int) -> list[float]:
             else -1.0 for d in range(dim)]
 
 
-def rp_band_buckets(vec: Column, dim: int, bits: int, bands: int) -> Column:
-    """array<struct<band:int, bucket:long>> — banded sign-LSH signature.
+def _spread(df: DataFrame) -> DataFrame:
+    """The plane-dot / signature expressions are the CPU-heavy stage; a
+    small corpus file is one input split, which would serialize them onto
+    one core. Spread up to cluster parallelism first."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _plane_dots(vec: Column, dim: int, n_planes: int) -> Column:
+    """array<double> of the vec·plane products for all planes, computed in
+    ONE literal-2D-array transform (single traversal per plane)."""
+    planes = F.array(*[
+        F.array(*[F.lit(c) for c in _plane_coeffs(g, dim)])
+        for g in range(n_planes)])
+    return hof.transform(planes, lambda p: _dot(vec, p))
+
+
+def _band_entries(dots: Column, bits: int, bands: int) -> Column:
+    """array<struct<band:int, bucket:long>> from a MATERIALIZED dot array.
 
     ``bands`` independent ``bits``-bit buckets (plane for band b, bit i is
     global plane g = b*bits + i). Candidates OR across bands (MinHash-band
     style), so recall survives sharp (>=16-bit) buckets: a near-dup pair
-    only needs ONE band to agree on all its bits. All bands*bits plane
-    dots are computed in one literal-2D-array transform (single traversal
-    per plane; no 64-sibling-fold expression blow-up)."""
-    planes = F.array(*[
-        F.array(*[F.lit(c) for c in _plane_coeffs(g, dim)])
-        for g in range(bands * bits)])
-    dots = hof.transform(planes, lambda p: _dot(vec, p))
+    only needs ONE band to agree on all its bits. ``dots`` MUST be a plain
+    column reference: passing the dot expression itself would inline its
+    64 folds once per band (4x recompute — measured 166s vs 3s at sf0.1)."""
     entries = []
     for b in range(bands):
         bucket = hof.aggregate(
@@ -142,12 +158,18 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, dim: int = 64,
     (expected O(n^2 / 2^bits) per band, vs O(n^2/16) at the old bits=4),
     while OR-ing ``bands`` independent bands keeps recall: identical /
     near-identical vectors agree on every plane and always collide."""
-    sig = rp_band_buckets(F.col(vec_col), dim, bits, bands)
+    df = _spread(df)
     base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
-    tagged = (df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
-                .select("doc", F.explode("sig").alias("bb"))
-                .select("doc", F.col("bb.band").alias("band"),
-                        F.col("bb.bucket").alias("bucket")))
+    # two projections: dots computed ONCE per row (CollapseProject keeps
+    # them separate because _dots is expensive and referenced per band)
+    dotted = df.select(F.col(id_col).alias("doc"),
+                       _plane_dots(F.col(vec_col), dim, bands * bits)
+                       .alias("_dots"))
+    tagged = (dotted
+              .select("doc", F.explode(
+                  _band_entries(F.col("_dots"), bits, bands)).alias("bb"))
+              .select("doc", F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -160,3 +182,51 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, dim: int = 64,
     return (cand.join(va, "doc_a").join(vb, "doc_b")
                 .filter(cos >= threshold)
                 .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    cells, probe only the ``nprobe`` cells nearest each query, exact
+    cosine re-rank inside them — the inverted-file scale path (scan
+    ~nprobe/n_centroids of the corpus per query instead of all of it).
+
+    Centroids are the vectors with the ``n_centroids`` smallest ids —
+    deterministic "seed centroids" so the SQL oracle reproduces the exact
+    partitioning (a k-means refinement would train them in place; the
+    assignment/probe/re-rank plumbing is identical). Centroids and query
+    assignments are broadcast; the corpus shuffles once on its cell id.
+
+    Output: (query_id, neighbor_id, cos, rank) — rank over the PROBED
+    cells (recall < 1 vs brute force by design; tests bound it)."""
+    cents = (df.orderBy(id_col).limit(n_centroids)
+               .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
+    base = _spread(df).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("nvec"))
+    ccos = cosine(F.col("nvec"), F.col("cvec"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("_ccos"), F.asc("cid"))
+    assigned = (base.join(F.broadcast(cents))
+                .withColumn("_ccos", ccos)
+                .withColumn("_rn", F.row_number().over(w_assign))
+                .filter(F.col("_rn") == 1)
+                .select("neighbor_id", "nvec", F.col("cid").alias("cell")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qcos = cosine(F.col("qvec"), F.col("cvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("_qcos"), F.asc("cid"))
+    probes = (q.join(F.broadcast(cents))
+              .withColumn("_qcos", qcos)
+              .withColumn("_rn", F.row_number().over(w_probe))
+              .filter(F.col("_rn") <= nprobe)
+              .select("query_id", "qvec", F.col("cid").alias("cell")))
+    cand = (assigned.join(F.broadcast(probes), "cell")
+                    .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round("cos", 6).alias("cos"), "rank"))
