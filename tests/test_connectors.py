@@ -138,3 +138,21 @@ def test_duckdb_partitioned_roundtrip(spark, tmpdir_path):
     write_sink(df, uri, truncate=True)
     assert read_source(spark, uri).count() == 300
     assert detect_format("x.duckdb#t") == "duckdb"
+
+
+def test_sqlite_custom_query_source(spark, tmpdir_path):
+    """reference with_query (mssql.rs custom-query): arbitrary SQL as the
+    source, partitioned when a numeric column is named."""
+    db = f"{tmpdir_path}/q.sqlite"
+    make_db(db, 200)
+    q = ("select id, upper(name) as uname, score * 2 as s2 "
+         "from items where id % 2 = 0")
+    df = read_source(spark, db, options={"query": q})
+    assert df.count() == 100
+    r = {x["id"]: x for x in df.collect()}
+    assert r[10]["uname"] == "NAME-10" and abs(r[10]["s2"] - 20 / 7.0) < 1e-9
+    # partitioned variant
+    dfp = read_source(spark, db, options={"query": q, "partition_column": "id",
+                                          "num_partitions": "4"})
+    assert dfp.rdd.getNumPartitions() == 4
+    assert dfp.count() == 100

@@ -276,3 +276,22 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
     # every query produced a full ranked list from the probed cells
     assert len(approx) == 30
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    rows = [(1, "image", b"imgbytes-1"), (2, "video", b"vid-1"),
+            (3, "image", None), (4, "audio", b"aud")]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    rz = {r["media_id"]: r for r in MM.resize_images(df, 224, 224).collect()}
+    assert set(rz) == {1, 3}                        # images only
+    assert bytes(rz[1]["payload"]).startswith(b"RESIZED:224x224:")
+    assert rz[1]["width"] == 224 and rz[1]["height"] == 224
+    assert rz[3]["payload"] is None and rz[3]["width"] is None
+    fr = MM.sample_frames(df, num_frames=3).collect()
+    assert len(fr) == 3                              # one video, 3 frames
+    assert sorted(r["frame_no"] for r in fr) == [0, 1, 2]
+    assert all(r["media_id"] == 2 for r in fr)
+    assert bytes(fr[0]["frame"]).startswith(b"FRAME:")
+    # deterministic: same payload -> same frames
+    fr2 = MM.sample_frames(df, num_frames=3).collect()
+    assert sorted(bytes(r["frame"]) for r in fr) == sorted(bytes(r["frame"]) for r in fr2)

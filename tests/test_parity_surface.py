@@ -220,3 +220,25 @@ def test_cli_transfer_with_transform(tmpdir_path):
     p = run_cli("transfer", src, dst, "--transform", "up = upper(name)")
     assert p.returncode == 0 and "transferred 2 rows" in p.stdout
     assert os.path.exists(dst)
+
+
+def test_cli_batch_date_sniff_default_on(spark, tmpdir_path):
+    """Reference parity: CSV date trial-parse is the DEFAULT in the job
+    path (TinyETL applies it to every untyped cell); opt-out via option."""
+    from tinyetl_spark.cli import cmd_run
+    from tinyetl_spark.config import Endpoint, JobConfig
+    src = f"{tmpdir_path}/in.csv"
+    with open(src, "w") as f:
+        f.write("id,joined\n1,2023-01-05\n2,12/25/2023\n")
+    dst = f"{tmpdir_path}/out.parquet"
+    assert cmd_run(JobConfig(source=Endpoint(uri=src),
+                             target=Endpoint(uri=dst))) == 0
+    types = {f.name: f.dataType.typeName()
+             for f in spark.read.parquet(dst).schema.fields}
+    assert types["joined"] == "timestamp"
+    dst2 = f"{tmpdir_path}/out2.parquet"
+    assert cmd_run(JobConfig(source=Endpoint(uri=src, options={"date_sniff": "false"}),
+                             target=Endpoint(uri=dst2))) == 0
+    types2 = {f.name: f.dataType.typeName()
+              for f in spark.read.parquet(dst2).schema.fields}
+    assert types2["joined"] == "string"

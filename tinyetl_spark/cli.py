@@ -59,9 +59,12 @@ def _transform_fn(cfg: JobConfig):
 
 def _build_df(spark, cfg: JobConfig):
     from tinyetl_spark.sources.files import read_source
+    # date sniffing defaults ON, matching the reference's CSV behavior of
+    # trial-parsing every untyped cell (connectors/csv.rs:82-111); opt out
+    # with options.date_sniff: "false" (it costs one sample pass per col).
     df = read_source(spark, cfg.source.uri, options=cfg.source.options,
                      infer_schema=cfg.infer_schema,
-                     date_sniff=cfg.source.options.get("date_sniff") == "true")
+                     date_sniff=cfg.source.options.get("date_sniff", "true") != "false")
     fn = _transform_fn(cfg)
     return fn(df) if fn else df
 

@@ -102,3 +102,97 @@ def extract_features(df: DataFrame) -> DataFrame:
     return (df.select(*cols)
               .repartition("kind")
               .mapInPandas(run, schema=out_schema))
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), True),      # resized bytes
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: Arrow-batched, homogeneous batches, typed
+    output. The pixel work is a registered decoder under the key
+    ``image/resize`` — absent codec libs, the stub emits a deterministic
+    fake payload (a marker header + the source digest) so the batch
+    shape, schema, and null propagation are fully testable; a pillow
+    implementation is a one-line registration."""
+    decoders = dict(DecoderRegistry._decoders)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import pandas as pd
+
+        def resize(payloads: pd.Series) -> pd.Series:
+            if "image/resize" in decoders:
+                return decoders["image/resize"](payloads)
+            return payloads.map(
+                lambda b: None if b is None else
+                f"RESIZED:{width}x{height}:".encode()
+                + _hl.sha1(bytes(b)).digest())
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[pdf["kind"] == "image"].copy()
+            if len(out) == 0:
+                continue
+            out["payload"] = resize(out["payload"])
+            out["width"] = pd.array(
+                [None if v is None else width for v in out["payload"]],
+                dtype="Int64")
+            out["height"] = pd.array(
+                [None if v is None else height for v in out["payload"]],
+                dtype="Int64")
+            yield out[["media_id", "kind", "payload", "width", "height"]]
+
+    return (df.select("media_id", "kind", "payload")
+              .repartition("kind")
+              .mapInPandas(run, schema=RESIZED_SCHEMA))
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_no", LongType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, num_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: a 1→N row expansion inside
+    mapInPandas (each video row yields ``num_frames`` frame rows). The
+    frame decode is the registered ``video/frames`` decoder; the stub
+    derives deterministic fake frames from the payload digest so the
+    expansion shape and ordering are testable without codecs."""
+    decoders = dict(DecoderRegistry._decoders)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import pandas as pd
+
+        def frames(b: bytes) -> list[bytes]:
+            if "video/frames" in decoders:
+                return decoders["video/frames"](b, num_frames)
+            d = _hl.sha1(bytes(b)).digest()
+            return [b"FRAME:%d:" % i + d for i in range(num_frames)]
+
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            if len(vids) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                if payload is None:
+                    continue
+                for i, fr in enumerate(frames(payload)):
+                    rows.append((int(mid), i, fr))
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["media_id", "frame_no", "frame"])
+
+    return (df.select("media_id", "kind", "payload")
+              .repartition("kind")
+              .mapInPandas(run, schema=FRAMES_SCHEMA))

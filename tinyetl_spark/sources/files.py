@@ -102,8 +102,15 @@ def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
         return read_http(spark, uri, options=options,
                          infer_schema=infer_schema, date_sniff=date_sniff)
     if fmt == "sqlite":
-        from tinyetl_spark.sources.sqlite_py import read_sqlite, split_sqlite_uri
+        from tinyetl_spark.sources.sqlite_py import (read_sqlite,
+                                                     read_sqlite_query,
+                                                     split_sqlite_uri)
         path, table = split_sqlite_uri(uri)
+        if "query" in options:   # reference with_query: arbitrary SQL source
+            return read_sqlite_query(
+                spark, path, options["query"],
+                num_partitions=int(options["num_partitions"]) if "num_partitions" in options else None,
+                partition_column=options.get("partition_column"))
         table = options.get("table", table)
         if not table:
             raise ValueError("sqlite source needs a table: 'db.sqlite#tbl'")

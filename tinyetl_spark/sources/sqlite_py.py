@@ -166,3 +166,73 @@ def split_sqlite_uri(uri: str) -> tuple[str, str | None]:
                 and os.path.exists(path.lstrip("/")):
             path = path.lstrip("/")
     return path, (frag or None)
+
+
+def _infer_schema_from_rows(cols: list[str], rows: list[tuple]) -> StructType:
+    """Type inference for arbitrary-SQL results (no PRAGMA available on a
+    derived table): vote per column over sampled python values, string on
+    mixed/unknown — the reference's sampling rule (schema.rs:526-554)."""
+    fields = []
+    for i, name in enumerate(cols):
+        seen = {type(r[i]) for r in rows if r[i] is not None}
+        if seen <= {int}:
+            t = LongType()
+        elif seen <= {float, int} and float in seen:
+            t = DoubleType()
+        elif seen <= {bytes}:
+            t = BinaryType()
+        else:
+            t = StringType()
+        fields.append(StructField(name, t, True))
+    return StructType(fields)
+
+
+def read_sqlite_query(spark: SparkSession, db_path: str, query: str,
+                      num_partitions: int | None = None,
+                      partition_column: str | None = None) -> DataFrame:
+    """Arbitrary-SQL source (reference ``with_query``, mssql.rs custom-
+    query support): the query runs as a derived table. With a numeric
+    ``partition_column`` the scan parallelizes exactly like spark JDBC
+    (``SELECT * FROM (q) WHERE col BETWEEN lo AND hi`` per range);
+    without one it is a single-stream driver fetch — same limitation as
+    the reference's serial cursor."""
+    import sqlite3
+    with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
+        cur = conn.execute(f"SELECT * FROM ({query}) LIMIT 100")
+        cols = [d[0] for d in cur.description]
+        sample = cur.fetchall()
+    schema = _infer_schema_from_rows(cols, sample)
+    if not partition_column:
+        with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
+            rows = conn.execute(query).fetchall()
+        return spark.createDataFrame(rows, schema)
+    with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
+        lo, hi = conn.execute(
+            f'SELECT min("{partition_column}"), max("{partition_column}") '
+            f'FROM ({query})').fetchone()
+    if lo is None:
+        return spark.createDataFrame([], schema)
+    n = num_partitions or min(spark.sparkContext.defaultParallelism, 16)
+    n = max(1, min(n, int(hi) - int(lo) + 1))
+    step = (int(hi) - int(lo) + n) // n
+    ranges = [(int(lo) + i * step, min(int(lo) + (i + 1) * step - 1, int(hi)))
+              for i in range(n)]
+    rdf = spark.createDataFrame([r for r in ranges if r[0] <= r[1]],
+                                "lo long, hi long").repartition(n)
+
+    def scan(batches):
+        import pandas as pd
+        import sqlite3 as sq
+        for pdf in batches:
+            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                with sq.connect(f"file:{db_path}?mode=ro", uri=True) as c:
+                    rows = c.execute(
+                        f'SELECT * FROM ({query}) '
+                        f'WHERE "{partition_column}" BETWEEN ? AND ?',
+                        (int(lo_), int(hi_))).fetchall()
+                yield pd.DataFrame(
+                    {name: [r[i] for r in rows]
+                     for i, name in enumerate(cols)}
+                    if rows else {name: [] for name in cols})
+
+    return rdf.mapInPandas(scan, schema=schema)
