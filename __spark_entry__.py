@@ -426,6 +426,26 @@ def q_asof_last_click(spark, sf_dir):
                .orderBy("event_id"))
 
 
+def q_range_join_clicks(spark, sf_dir):
+    """Range (interval) join: clicks within the 300s before each purchase,
+    per user — bin-bucketed equi-join + exact filter (one shuffle, never
+    the per-key cross product an inequality join plans as)."""
+    from tinyetl_spark.operators.ranges import range_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    pairs = range_join(purchases, clicks, on=["user_id"],
+                       left_time="ts", right_time="click_ts",
+                       lower_seconds=300, upper_seconds=0)
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+    return (purchases.join(counts, "event_id", "left")
+            .select("event_id", "user_id", "ts",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+            .orderBy("event_id"))
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse cells from deterministic seed centroids,
     nprobe-cell probe, exact re-rank — the inverted-file scale path."""
@@ -478,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": stream_windowed_counts,
         "ann_embedding_dups": ann_embedding_dups,
         "q_asof_last_click": q_asof_last_click,
+        "q_range_join_clicks": q_range_join_clicks,
         "ann_ivf_topk": ann_ivf_topk,
         "q_approx_distinct": q_approx_distinct,
     }
@@ -755,6 +776,20 @@ def oracle_sql() -> dict[str, str]:
             select p.event_id, p.user_id, p.ts, c.click_ts as last_click_ts
             from p asof left join c
               on p.user_id = c.user_id and p.ts >= c.click_ts
+            order by p.event_id
+        """,
+        "q_range_join_clicks": """
+            with p as (select event_id, user_id, ts from events
+                       where event_type = 'purchase'),
+                 c as (select user_id, ts as click_ts from events
+                       where event_type = 'click')
+            select p.event_id, p.user_id, p.ts,
+                   count(c.click_ts) as n_clicks
+            from p left join c
+              on c.user_id = p.user_id
+             and c.click_ts >= p.ts - interval 300 seconds
+             and c.click_ts <= p.ts
+            group by p.event_id, p.user_id, p.ts
             order by p.event_id
         """,
         "ann_ivf_topk": """

@@ -295,3 +295,27 @@ def test_multimodal_resize_and_frame_sampling(spark):
     # deterministic: same payload -> same frames
     fr2 = MM.sample_frames(df, num_frames=3).collect()
     assert sorted(bytes(r["frame"]) for r in fr) == sorted(bytes(r["frame"]) for r in fr2)
+
+
+def test_range_join_vs_brute_force(spark):
+    """Bucketed range join == the inequality join it replaces."""
+    import random
+    from datetime import datetime, timedelta
+    from tinyetl_spark.operators.ranges import range_join
+    rnd = random.Random(5)
+    base = datetime(2024, 1, 1)
+    left = [(i, i % 7, base + timedelta(seconds=rnd.randint(0, 5000)))
+            for i in range(200)]
+    right = [(i % 7, base + timedelta(seconds=rnd.randint(0, 5000)),
+              f"r{i}") for i in range(300)]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "k long, rts timestamp, tag string")
+    got = {(r["lid"], r["tag"]) for r in
+           range_join(ldf, rdf, on=["k"], left_time="ts", right_time="rts",
+                      lower_seconds=120, upper_seconds=30).collect()}
+    want = set()
+    for lid, lk, lts in left:
+        for rk, rts, tag in right:
+            if lk == rk and lts - timedelta(seconds=120) <= rts <= lts + timedelta(seconds=30):
+                want.add((lid, tag))
+    assert got == want and len(want) > 50
