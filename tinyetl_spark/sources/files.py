@@ -43,13 +43,13 @@ def detect_format(uri: str, explicit: str | None = None) -> str:
     parsed = urlparse(uri)
     if parsed.scheme in ("http", "https"):
         return "http"
+    if parsed.scheme in _JDBC_SCHEMES:   # scheme wins over extension:
+        return "jdbc"                    # postgresql://h/x.db is jdbc
     ext_nofrag = os.path.splitext(uri.partition("#")[0])[1].lower()
     if parsed.scheme == "sqlite" or ext_nofrag in _SQLITE_EXTS:
         return "sqlite"
     if parsed.scheme == "duckdb" or ext_nofrag in _DUCKDB_EXTS:
         return "duckdb"
-    if parsed.scheme in _JDBC_SCHEMES:
-        return "jdbc"
     path = parsed.path or uri
     # extension wins even for directories: Spark-written datasets are
     # directories named like files (out.json/part-*.json)
