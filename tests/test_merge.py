@@ -244,3 +244,32 @@ def test_auto_mode_picks_mor_for_dense_small_batches(spark, tmpdir_path):
     # with a 10k-row table and ~500-event batches, auto must flip to MOR
     assert s2.strategy == "mor"
     assert_state_equal(t, ev)
+
+
+def test_mor_read_resolves_only_delta_touched_buckets(spark, tmpdir_path):
+    """LWW resolution must not shuffle buckets no delta can shadow: the
+    read plan unions a window-free scan of clean buckets with a windowed
+    scan of delta-touched ones."""
+    import pyspark.sql.functions as F2
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    ev = datagen.change_events(spark, 4000, 800, seed=21)
+    merge_apply(t, ev.filter("event_seq < 3800"), 0)          # base, all buckets
+    # a delta confined to ONE bucket: pick urls of bucket 0 only
+    tail = ev.filter("event_seq >= 3800")
+    one_bucket = tail.filter(t.bucket_expr(F2.col("url")) == 0)
+    assert one_bucket.count() > 0
+    s = merge_apply(t, one_bucket, 1, mode="mor")
+    assert s.strategy == "mor"
+    deltas = [f for f in t.snapshot().files if f.get("delta")]
+    assert deltas and all(set(f["buckets"]) <= {0} for f in deltas)
+    df = t.read()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    window_nodes = [l for l in plan.splitlines()
+                    if l.lstrip(" :+-").startswith("Window ")]
+    assert "Union" in plan and len(window_nodes) == 1
+    # and the state is still exactly the LWW oracle over everything merged
+    merged = ev.filter("event_seq < 3800").unionByName(one_bucket)
+    final = sorted((r["url"], r["event_seq"]) for r in df.collect())
+    oracle = sorted((r["url"], r["event_seq"])
+                    for r in brute_force_state(merged).collect())
+    assert final == oracle

@@ -248,11 +248,13 @@ class LakeTable:
         if buckets is not None:
             files = [f for f in files if set(f["buckets"]) & buckets]
         cur = snap.schema
-        if not files:
-            df = self.spark.createDataFrame([], cur)
-        else:
+        names = {f.name for f in cur.fields}
+
+        def read_files(fs):
+            if not fs:
+                return self.spark.createDataFrame([], cur)
             groups: dict[int, list[str]] = {}
-            for f in files:
+            for f in fs:
                 groups.setdefault(f["schema_version"], []).append(f["path"])
             parts = []
             for sv, paths in sorted(groups.items()):
@@ -269,17 +271,34 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-        names = {f.name for f in cur.fields}
-        if resolve and any(f.get("delta") for f in files):
+            return df
+
+        delta_files = [f for f in files if f.get("delta")]
+        if resolve and delta_files:
             if not {"warc_ts", "event_seq"} <= names:
                 raise ValueError(
                     "delta files present but table lacks the LWW ordering "
                     "columns (warc_ts, event_seq)")
+            # LWW resolution shuffles only the DELTA-TOUCHED buckets: base
+            # files whose bucket-sets no delta overlaps cannot be shadowed
+            # and bypass the window entirely — read cost stays O(delta-
+            # touched data), not O(table).
+            delta_buckets: set[int] = set()
+            for f in delta_files:
+                delta_buckets |= set(f["buckets"])
+            clean = [f for f in files
+                     if not f.get("delta")
+                     and not (set(f["buckets"]) & delta_buckets)]
+            dirty = [f for f in files if f not in clean]
             from pyspark.sql import Window
             w = Window.partitionBy(snap.key_col).orderBy(
                 F.col("warc_ts").desc(), F.col("event_seq").desc())
-            df = (df.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn"))
+            resolved = (read_files(dirty)
+                        .withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1).drop("_rn"))
+            df = read_files(clean).unionByName(resolved) if clean else resolved
+        else:
+            df = read_files(files)
         if not include_tombstones and "_deleted" in names:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
