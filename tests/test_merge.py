@@ -273,3 +273,25 @@ def test_mor_read_resolves_only_delta_touched_buckets(spark, tmpdir_path):
     oracle = sorted((r["url"], r["event_seq"])
                     for r in brute_force_state(merged).collect())
     assert final == oracle
+
+
+def test_schema_evolution_then_mor_delta(spark, tmpdir_path):
+    """Add-column evolution followed by merge-on-read deltas: old base
+    files conform (null new column), delta rows carry it, reads resolve
+    across schema versions."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    ev = datagen.change_events(spark, 2000, 400, seed=23)
+    merge_apply(t, ev.filter("event_seq < 1800"), 0)
+    new_schema = StructType(list(PAGES_SCHEMA.fields)
+                            + [StructField("source", StringType(), True)])
+    t.evolve_schema(new_schema)
+    tail = ev.filter("event_seq >= 1800").withColumn("source", F.lit("crawl-2"))
+    s = merge_apply(t, tail, 1, mode="mor")
+    assert s.strategy == "mor"
+    df = t.read()
+    assert "source" in df.columns
+    by_src = {r["source"]: r for r in
+              df.select("source").distinct().collect()}
+    assert None in by_src and "crawl-2" in by_src
+    assert_state_equal(t, ev)

@@ -251,7 +251,13 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     # future read/list work) is a function of the DATA, never of the
     # cluster size — otherwise a bigger cluster writes more, smaller
     # files per batch and pays for it on every later read.
-    slots = max(len(touched), 1)
+    # MOR deltas size their slot count to the BATCH instead (one file per
+    # ~250k winner rows, estimated from the previous batch): a small delta
+    # must not fan out into num_buckets tiny files per micro-batch.
+    if use_mor:
+        slots = max(1, min(num_b, (max(prev_in, 1) + 249_999) // 250_000))
+    else:
+        slots = max(len(touched), 1)
     from pyspark.sql import Observation
     obs = Observation()
     # events_in rides the scan as an observed metric — no counting job.
