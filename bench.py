@@ -269,9 +269,12 @@ def main() -> None:
     # 2-core rounds spread 106-117k, 8-core rounds 255-383k), so the HIGH
     # level gets extra rounds to sample its clean mode with the same
     # confidence — same estimator, variance-matched sampling.
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    # low level: tight spread (±5% across many invocations) -> 2 rounds
+    # suffice; high level: right-skewed episodes -> 5 rounds to sample the
+    # clean mode. Keeps the whole bench near the round-1 wall-clock.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
     high_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_ROUNDS",
-                                     str(2 * rounds)))
+                                     str(2 * rounds + 1)))
     # Default pair 2 vs 8 (N vs 4N): this VM inflates the core-seconds of
     # IDENTICAL work as concurrency rises (measured on the same merge:
     # +14% at 8 threads, +28-54% at 16 — memory-subsystem contention of
