@@ -204,6 +204,29 @@ def q_rollup_lineitem(spark, sf_dir):
                   F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
 
 
+def q_percentiles(spark, sf_dir):
+    """Ordered-set aggregates: exact interpolated percentiles per group
+    (Spark `percentile` == DuckDB `quantile_cont`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                   F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                   F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+              .orderBy("event_type"))
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregate family: stddev/variance/correlation/covariance
+    (sample forms) over lineitem measures."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+             .agg(F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+                  F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+                  F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+                  F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"))
+             .orderBy("l_returnflag"))
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (distinct from rollup/cube: an arbitrary
     set list), via Spark SQL over a temp view."""
@@ -481,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top3_customers_per_nation": q_top3_customers_per_nation,
         "q_customers_without_orders": q_customers_without_orders,
         "q_rollup_lineitem": q_rollup_lineitem,
+        "q_percentiles": q_percentiles,
+        "q_stats_agg": q_stats_agg,
         "q_grouping_sets": q_grouping_sets,
         "q_orders_with_lineitem_semi": q_orders_with_lineitem_semi,
         "q_events_windowed": q_events_windowed,
@@ -564,6 +589,21 @@ def oracle_sql() -> dict[str, str]:
             select l_returnflag, l_linestatus, count(*) as n,
                    round(sum(l_quantity), 4) as sum_qty
             from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
+        "q_percentiles": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events group by event_type order by event_type
+        """,
+        "q_stats_agg": """
+            select l_returnflag,
+                   round(stddev_samp(l_quantity), 6) as sd_qty,
+                   round(var_samp(l_extendedprice), 4) as var_price,
+                   round(corr(l_quantity, l_extendedprice), 6) as corr_qp,
+                   round(covar_samp(l_quantity, l_discount), 6) as cov_qd
+            from lineitem group by l_returnflag order by l_returnflag
         """,
         "q_grouping_sets": """
             select l_returnflag, l_linestatus, count(*) as n,
