@@ -204,6 +204,18 @@ def q_rollup_lineitem(spark, sf_dir):
                   F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
 
 
+def q_pivot_events(spark, sf_dir):
+    """Pivot (long→wide conditional aggregation): events per hour-of-day
+    by type, explicit value list so the plan is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    out = (ev.groupBy(F.hour("ts").alias("hr"))
+             .pivot("event_type", kinds).count())
+    return (out.select("hr", *[F.coalesce(F.col(k), F.lit(0)).alias(k)
+                               for k in kinds])
+               .orderBy("hr"))
+
+
 def q_percentiles(spark, sf_dir):
     """Ordered-set aggregates: exact interpolated percentiles per group
     (Spark `percentile` == DuckDB `quantile_cont`)."""
@@ -504,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top3_customers_per_nation": q_top3_customers_per_nation,
         "q_customers_without_orders": q_customers_without_orders,
         "q_rollup_lineitem": q_rollup_lineitem,
+        "q_pivot_events": q_pivot_events,
         "q_percentiles": q_percentiles,
         "q_stats_agg": q_stats_agg,
         "q_grouping_sets": q_grouping_sets,
@@ -589,6 +602,15 @@ def oracle_sql() -> dict[str, str]:
             select l_returnflag, l_linestatus, count(*) as n,
                    round(sum(l_quantity), 4) as sum_qty
             from lineitem group by rollup (l_returnflag, l_linestatus)
+        """,
+        "q_pivot_events": """
+            select hour(ts) as hr,
+                   count(case when event_type = 'click' then 1 end) as click,
+                   count(case when event_type = 'view' then 1 end) as view,
+                   count(case when event_type = 'signup' then 1 end) as signup,
+                   count(case when event_type = 'purchase' then 1 end) as purchase,
+                   count(case when event_type = 'error' then 1 end) as error
+            from events group by hour(ts) order by hr
         """,
         "q_percentiles": """
             select event_type,
