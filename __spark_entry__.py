@@ -654,8 +654,9 @@ def oracle_sql() -> dict[str, str]:
               from events window w as (partition by user_id order by ts, event_id)),
             numbered as (
               select user_id, ts,
-                     sum(new_s) over (partition by user_id order by ts, event_id
-                                      rows between unbounded preceding and current row) as session_no
+                     cast(sum(new_s) over (partition by user_id order by ts, event_id
+                                           rows between unbounded preceding and current row)
+                          as bigint) as session_no
               from marked)
             select user_id, session_no, min(ts) as session_start, count(*) as n_events
             from numbered group by user_id, session_no

@@ -171,19 +171,60 @@ def test_slot_mapping_matches_files(spark, tmpdir_path):
 
 
 def test_stats_without_probe_or_readback(spark, tmpdir_path):
-    """Dense batches run exactly one Spark job; stats still exact."""
+    """Dense batches stay within the documented job budget (merge job plus
+    the limit-1 empty-batch guard on copy-on-write; no histogram probe, no
+    stats read-back job); stats still exact."""
     t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
     ev = datagen.change_events(spark, 1000, 100, seed=42, hot_fraction=0.3)
     s0 = merge_apply(t, ev.filter("event_seq < 500"), 0)
     assert s0.events_in == 500
     tracker = spark.sparkContext.statusTracker()
-    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
     s1 = merge_apply(t, ev.filter("event_seq >= 500"), 1)   # dense now
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert len(jobs_after - jobs_before) <= 2   # isEmpty guard + THE merge job
+    assert s1.strategy == "cow"
     assert s1.events_in == 500
     assert s1.upserts + s1.deletes + s1.dedup_drops == 500
     assert_state_equal(t, ev)
     snap = t.snapshot()
     assert snap.summary["total_rows"] == t.read(include_tombstones=True).count()
+
+
+def test_mor_batch_is_exactly_one_job(spark, tmpdir_path):
+    """The streaming steady state (dense MOR micro-batch) runs exactly ONE
+    Spark job: no probe, no empty-guard, no read-back."""
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    ev = datagen.change_events(spark, 1000, 100, seed=5, hot_fraction=0.3)
+    merge_apply(t, ev.filter("event_seq < 500"), 0)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+    s = merge_apply(t, ev.filter("event_seq >= 500"), 1, mode="mor")
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert s.strategy == "mor" and s.events_in == 500
+    assert len(jobs_after - jobs_before) == 1
+    assert_state_equal(t, ev)
+
+
+def test_empty_batch_is_a_noop_commit(spark, tmpdir_path):
+    """An empty micro-batch never rewrites a data file (dense COW guard)
+    and never commits delta debt (MOR post-job discard) — it advances the
+    epoch fence and nothing else."""
+    from tinyetl_spark.lake.merge import last_committed_batch
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    ev = datagen.change_events(spark, 1000, 100, seed=7, hot_fraction=0.3)
+    merge_apply(t, ev, 0)                       # table is dense now
+    files_before = {f["path"] for f in t.snapshot().files}
+    empty = ev.filter("event_seq < 0")
+    s1 = merge_apply(t, empty, 1)               # auto -> dense COW guard
+    assert s1.events_in == 0 and s1.upserts == 0 and s1.deletes == 0
+    assert {f["path"] for f in t.snapshot().files} == files_before
+    s2 = merge_apply(t, empty, 2, mode="mor")   # MOR post-job discard
+    assert s2.events_in == 0 and s2.strategy == "mor"
+    assert {f["path"] for f in t.snapshot().files} == files_before
+    assert not any(f.get("delta") for f in t.snapshot().files)
+    assert last_committed_batch(t, "default") == 2
+    assert_state_equal(t, ev)
 
 
 def test_mor_writes_o_batch_not_o_table(spark, tmpdir_path):

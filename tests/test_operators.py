@@ -261,6 +261,22 @@ def test_asof_join_semantics(spark):
     assert out[4] is None     # key with no right rows at all
 
 
+def test_asof_join_null_value_in_match_wins(spark):
+    """DuckDB/pandas ASOF parity: when the true as-of match carries a NULL
+    value, the output is NULL — it must NOT fall through to an older right
+    row (regression for the last(ignorenulls) pitfall)."""
+    from datetime import datetime
+    from tinyetl_spark.operators.asof import asof_join
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, 10, t(10))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t(1), "old", 7), (10, t(5), None, None)],
+        "k long, rts timestamp, v string, w long")
+    row = asof_join(left, right, on=["k"], left_time="ts", right_time="rts",
+                    value_cols=["v", "w"]).collect()[0]
+    assert row["v_asof"] is None and row["w_asof"] is None
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     import random
     rnd = random.Random(3)

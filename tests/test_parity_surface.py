@@ -203,8 +203,16 @@ def test_cli_preview_and_dry_run_write_nothing(tmpdir_path):
     with open(src, "w") as f:
         f.write("id,name\n1,a\n2,b\n")
     dst = f"{tmpdir_path}/out.parquet"
-    p = run_cli("transfer", src, dst, "--preview", "2")
+    # preview with a transform prints BOTH schemas (reference
+    # transfer.rs:201-316: pre- and post-transform)
+    p = run_cli("transfer", src, dst, "--preview", "2",
+                "--transform", "up = upper(name)")
     assert p.returncode == 0 and "name" in p.stdout
+    assert "source schema:" in p.stdout and "output schema:" in p.stdout
+    pre = p.stdout.index("source schema:")
+    post = p.stdout.index("output schema:")
+    assert "up" not in p.stdout[pre:post]          # raw schema lacks derived col
+    assert "up" in p.stdout[post:]                 # transformed schema has it
     assert not os.path.exists(dst)
     p = run_cli("transfer", src, dst, "--dry-run",
                 "--transform", "up = upper(name)")

@@ -57,14 +57,18 @@ def _transform_fn(cfg: JobConfig):
     return fn
 
 
-def _build_df(spark, cfg: JobConfig):
+def _build_raw_df(spark, cfg: JobConfig):
     from tinyetl_spark.sources.files import read_source
     # date sniffing defaults ON, matching the reference's CSV behavior of
     # trial-parsing every untyped cell (connectors/csv.rs:82-111); opt out
     # with options.date_sniff: "false" (it costs one sample pass per col).
-    df = read_source(spark, cfg.source.uri, options=cfg.source.options,
-                     infer_schema=cfg.infer_schema,
-                     date_sniff=cfg.source.options.get("date_sniff", "true") != "false")
+    return read_source(spark, cfg.source.uri, options=cfg.source.options,
+                       infer_schema=cfg.infer_schema,
+                       date_sniff=cfg.source.options.get("date_sniff", "true") != "false")
+
+
+def _build_df(spark, cfg: JobConfig, raw=None):
+    df = raw if raw is not None else _build_raw_df(spark, cfg)
     fn = _transform_fn(cfg)
     return fn(df) if fn else df
 
@@ -74,12 +78,17 @@ def cmd_run(cfg: JobConfig) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     # stream mode never materializes the source as a batch frame; preview/
     # dry-run still do (they print schema + sample regardless of mode).
-    df = None
+    df = raw = None
     if cfg.mode != "stream" or cfg.preview or cfg.dry_run:
-        df = _build_df(spark, cfg)
+        raw = _build_raw_df(spark, cfg)
+        df = _build_df(spark, cfg, raw=raw)
 
     if cfg.preview:
-        print("schema:")
+        # the reference prints both the source schema and the
+        # post-transform schema (transfer.rs:201-316)
+        print("source schema:")
+        raw.printSchema()
+        print("output schema:")
         df.printSchema()
         df.show(cfg.preview, truncate=40)
         return 0

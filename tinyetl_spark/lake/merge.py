@@ -26,10 +26,13 @@ Two write strategies, chosen per batch (``mode='auto'``):
   absorbs the deltas. Without this, a uniform CDC stream at 10^10 events
   rewrites the whole table every micro-batch (copy-on-write amplification).
 
-The hot path is tuned to exactly ONE Spark job per dense micro-batch
-(driver fixed costs and job-submission latency are the scaling ceiling of
-a streaming pipeline — measured 1-2 s/batch of serial section at round 1,
-capping N->4N core-scaling efficiency at 0.52):
+The hot path is tuned to exactly ONE Spark job per dense MOR micro-batch
+— the streaming steady state — (driver fixed costs and job-submission
+latency are the scaling ceiling of a streaming pipeline — measured
+1-2 s/batch of serial section at round 1, capping N->4N core-scaling
+efficiency at 0.52); a dense COPY-ON-WRITE batch (the periodic
+delta-absorbing rewrite) adds one limit-1 ``isEmpty`` guard job so an
+empty micro-batch can never trigger a full-table rewrite:
 
 - the old per-batch histogram/count probe job is gone on the dense path
   (touch-all is assumed; it is a superset and always correct);
@@ -129,6 +132,22 @@ def dedup_batch(batch: DataFrame, key: str = "url") -> DataFrame:
                  .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def _commit_zero_event(table: LakeTable, snap, stream_id: str, batch_id: int,
+                       prev_active: int, table_rows: int,
+                       strategy: str) -> MergeStats:
+    """Fence-only commit for an empty micro-batch: carry every file over
+    unchanged, advance the epoch fence, write no data."""
+    committed = table.commit(
+        files=snap.files,
+        summary={"operation": "merge", "stream_id": stream_id,
+                 "batch_id": batch_id, "events_in": 0,
+                 "active_buckets": prev_active, "total_rows": table_rows},
+        properties={FENCE_PREFIX + stream_id: batch_id, LAST_IN_PROP: 0},
+        expected_base=snap.version)
+    return MergeStats(batch_id, 0, 0, 0, 0, 0, snap.num_buckets, 0.0,
+                      snapshot_version=committed.version, strategy=strategy)
+
+
 def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
                 stream_id: str = "default",
                 extract: bool = True, transform_fn=None,
@@ -193,23 +212,23 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         # saves one Spark job per batch (the probe only pays off when the
         # batch is SPARSE and copy-on-write can prune most of the table).
         touched = set(range(num_b))
+        if not use_mor and batch.isEmpty():
+            # dense copy-on-write would union-and-rewrite EVERY bucket; a
+            # limit-1 scan (one cheap job, stops at the first row) guards
+            # the full-table rewrite on an empty micro-batch. MOR needs no
+            # guard: its single job scans only the (empty) batch and the
+            # empty delta is discarded after the job, below.
+            mark("job_empty_guard")
+            return _commit_zero_event(table, snap, stream_id, batch_id,
+                                      prev_active, table_rows, "cow")
     else:
         pre = (batch.groupBy(table.bucket_expr().alias("b")).count().collect())
         events_in = sum(int(r["count"]) for r in pre)
         touched = {int(r["b"]) for r in pre}
         mark("job1_probe")
         if events_in == 0:
-            committed = table.commit(
-                files=snap.files,
-                summary={"operation": "merge", "stream_id": stream_id,
-                         "batch_id": batch_id, "events_in": 0,
-                         "active_buckets": prev_active,
-                         "total_rows": table_rows},
-                properties={FENCE_PREFIX + stream_id: batch_id,
-                            LAST_IN_PROP: 0},
-                expected_base=snap.version)
-            return MergeStats(batch_id, 0, 0, 0, 0, 0, num_b, 0.0,
-                              snapshot_version=committed.version)
+            return _commit_zero_event(table, snap, stream_id, batch_id,
+                                      prev_active, table_rows, "cow")
 
     if not use_mor:
         # touch-closure: a data file may hold >1 bucket (slot collisions);
@@ -351,6 +370,13 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     observed = obs.get.get("events_in")
     if events_in is None:
         events_in = int(observed or 0)
+    if use_mor and events_in == 0:
+        # the single job scanned only the (empty) batch; drop the empty
+        # delta files instead of committing read-amplifying delta debt
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return _commit_zero_event(table, snap, stream_id, batch_id,
+                                  prev_active, table_rows, "mor")
     applied = sum(s[1] for s in per_bucket.values())
     deletes = sum(s[2] for s in per_bucket.values())
     written_rows = sum(s[0] for s in per_bucket.values())

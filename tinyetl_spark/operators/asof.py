@@ -10,9 +10,15 @@ time-series engines) is UNION + LAST_VALUE:
    common shape;
 2. ONE shuffle: partition by key, sort by (time, side) with right rows
    first at equal timestamps (inclusive ``>=`` semantics);
-3. ``last(value, ignorenulls=True)`` over (key) ordered rows between
-   unbounded preceding and current row — a streaming window frame, O(1)
-   state per row, no partition buffering;
+3. fold the value columns into ONE struct column, non-null exactly on
+   right rows, and take ``last(struct, ignorenulls=True)`` over (key)
+   ordered rows between unbounded preceding and current row — a
+   streaming window frame, O(1) state per row, no partition buffering.
+   The struct tag is what distinguishes "no right row at or before t"
+   (null struct → null outputs) from "the matching right row's value is
+   NULL" (non-null struct with a null field → the null VALUE wins, it
+   does not fall through to an older right row) — matching
+   DuckDB/pandas ASOF JOIN semantics;
 4. keep the left rows: each now carries the latest right value at-or-
    before its time.
 
@@ -33,13 +39,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     row with ``right_time <= left_time`` and equal ``on`` keys (nulls when
     no such row exists). Output = left columns + ``<value_col><suffix>``.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    vtype = StructType([StructField(c, right.schema[c].dataType)
+                        for c in value_cols])
     probe = left.select(
         *lcols,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
-          for c in value_cols])
+        F.lit(None).cast(vtype).alias("_v"))
     ref = right.select(
         *[F.col(c) if c in right.columns else F.lit(None).alias(c)
           for c in on],
@@ -47,15 +56,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
           for c in lcols if c not in on],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-    ).select(*lcols, "_t", "_side", *[f"_v_{c}" for c in value_cols])
+        # always non-null on right rows, even when every value col is null
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_v"),
+    ).select(*lcols, "_t", "_side", "_v")
     u = probe.unionByName(ref)
     w = (Window.partitionBy(*on)
          .orderBy(F.col("_t").asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    for c in value_cols:
-        u = u.withColumn(f"_f_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_f", F.last("_v", ignorenulls=True).over(w))
     return (u.filter(F.col("_side") == 1)
              .select(*lcols,
-                     *[F.col(f"_f_{c}").alias(f"{c}{suffix}")
+                     *[F.col("_f").getField(c).alias(f"{c}{suffix}")
                        for c in value_cols]))

@@ -62,6 +62,25 @@ def detect_format(uri: str, explicit: str | None = None) -> str:
                      f"known extensions: {sorted(_FILE_FORMATS)}")
 
 
+_AVRO_JVM_PROBE: dict[int, bool] = {}
+
+
+def _avro_jvm_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro data source is on the JVM classpath.
+    Probed once per SparkContext so a missing package routes to the
+    pure-Python codec while every OTHER avro error (bad path, corrupt
+    container, schema mismatch, bad options) propagates to the caller."""
+    key = id(spark.sparkContext._jsc)
+    if key not in _AVRO_JVM_PROBE:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.avro.AvroFileFormat")
+            _AVRO_JVM_PROBE[key] = True
+        except Exception:
+            _AVRO_JVM_PROBE[key] = False
+    return _AVRO_JVM_PROBE[key]
+
+
 def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
                 options: dict | None = None, infer_schema: bool = True,
                 date_sniff: bool = False) -> DataFrame:
@@ -92,11 +111,10 @@ def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
     if fmt == "parquet":
         return spark.read.options(**options).parquet(uri)
     if fmt == "avro":
-        try:
+        if _avro_jvm_available(spark):
             return spark.read.format("avro").options(**options).load(uri)
-        except Exception:  # spark-avro not deployed -> pure-Python fallback
-            from tinyetl_spark.sources.avro_py import read_avro
-            return read_avro(spark, uri)
+        from tinyetl_spark.sources.avro_py import read_avro
+        return read_avro(spark, uri)
     if fmt == "http":
         from tinyetl_spark.sources.http import read_http
         return read_http(spark, uri, options=options,
@@ -183,9 +201,9 @@ def write_sink(df: DataFrame, uri: str, fmt: str | None = None,
     elif fmt == "parquet":
         df.write.mode(mode).options(**options).parquet(uri)
     elif fmt == "avro":
-        try:
+        if _avro_jvm_available(df.sparkSession):
             df.write.mode(mode).format("avro").options(**options).save(uri)
-        except Exception:  # spark-avro not deployed -> pure-Python fallback
+        else:
             from tinyetl_spark.sources.avro_py import write_avro
             write_avro(df, uri, mode=mode,
                        codec=options.get("compression", "deflate"))
