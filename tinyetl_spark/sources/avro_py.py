@@ -23,6 +23,11 @@ tests/test_avro.py by round-tripping through the JVM Avro library
 Supported types (the reference's matrix, avro.rs:233-400): boolean, int,
 long, float, double, string, bytes, date, timestamp(-micros, both tz and
 ntz), and arrays thereof; every field nullable via union ["null", T].
+Complex values follow the reference's flatten-on-read contract
+(avro.rs:105-144): ``map``/``record`` decode to compact JSON strings
+(bytes inside become JSON int arrays, temporal values ISO strings),
+``enum`` decodes to its symbol string, ``fixed`` to binary. Named-type
+references and multi-branch unions inside those values are resolved.
 Codecs: null, deflate (raw zlib — the spec's required pair).
 """
 
@@ -73,12 +78,40 @@ def spark_to_avro_schema(schema: StructType, name: str = "topLevelRecord") -> di
         for f in schema.fields]}
 
 
-def _spark_type_of(at) -> DataType:
+_PRIM_SPARK = {"boolean": BooleanType(), "int": IntegerType(),
+               "long": LongType(), "float": FloatType(),
+               "double": DoubleType(), "string": StringType(),
+               "bytes": BinaryType()}
+
+
+def _collect_named(at, reg: dict) -> None:
+    """Register record/enum/fixed definitions by name so later references
+    by bare name (the spec's named-type reuse) resolve."""
+    if isinstance(at, list):
+        for t in at:
+            _collect_named(t, reg)
+    elif isinstance(at, dict):
+        t = at.get("type")
+        if t in ("record", "enum", "fixed") and "name" in at:
+            reg[at["name"]] = at
+        if t == "record":
+            for f in at.get("fields", []):
+                _collect_named(f["type"], reg)
+        elif t == "array":
+            _collect_named(at.get("items"), reg)
+        elif t == "map":
+            _collect_named(at.get("values"), reg)
+
+
+def _spark_type_of(at, names: dict | None = None) -> DataType:
+    names = names or {}
+    if isinstance(at, str) and at in names:
+        at = names[at]                            # named-type reference
     if isinstance(at, list):                      # union — strip null branch
         non_null = [t for t in at if t != "null"]
         if len(non_null) != 1:
             raise ValueError(f"avro_py: unsupported union {at}")
-        return _spark_type_of(non_null[0])
+        return _spark_type_of(non_null[0], names)
     if isinstance(at, dict):
         lt = at.get("logicalType")
         if lt == "date":
@@ -87,22 +120,28 @@ def _spark_type_of(at) -> DataType:
             return TimestampType()
         if lt == "local-timestamp-micros":
             return TimestampNTZType()
-        if at.get("type") == "array":
-            return ArrayType(_spark_type_of(at["items"]))
-        return _spark_type_of(at["type"])
-    prim = {"boolean": BooleanType(), "int": IntegerType(),
-            "long": LongType(), "float": FloatType(), "double": DoubleType(),
-            "string": StringType(), "bytes": BinaryType()}
-    if at in prim:
-        return prim[at]
+        t = at.get("type")
+        if t == "array":
+            return ArrayType(_spark_type_of(at["items"], names))
+        if t in ("map", "record", "enum"):
+            # reference flatten-on-read contract (avro.rs:105-144):
+            # map/record -> JSON string, enum -> its symbol
+            return StringType()
+        if t == "fixed":
+            return BinaryType()
+        return _spark_type_of(t, names)
+    if at in _PRIM_SPARK:
+        return _PRIM_SPARK[at]
     raise ValueError(f"avro_py: unsupported avro type {at!r}")
 
 
 def avro_to_spark_schema(avro_schema: dict) -> StructType:
     if avro_schema.get("type") != "record":
         raise ValueError("avro_py: top-level schema must be a record")
+    names: dict = {}
+    _collect_named(avro_schema, names)
     return StructType([
-        StructField(f["name"], _spark_type_of(f["type"]), True)
+        StructField(f["name"], _spark_type_of(f["type"], names), True)
         for f in avro_schema["fields"]])
 
 
@@ -184,8 +223,99 @@ def _encoder_for(at):
     raise ValueError(f"avro_py: cannot encode type {at!r}")
 
 
-def _decoder_for(at):
-    """(mv, pos) -> (value, pos) for a NON-NULL avro type."""
+def _json_default(v):
+    """JSON fallbacks inside flattened map/record values: bytes -> int
+    array (serde-style), temporal values -> ISO-ish strings."""
+    if isinstance(v, (bytes, bytearray)):
+        return list(v)
+    return str(v)
+
+
+def _blocked(item_dec, keyed: bool):
+    """Decoder for the spec's blocked sequences (arrays and maps)."""
+    def dec(mv, pos):
+        out = {} if keyed else []
+        while True:
+            n, pos = _read_long(mv, pos)
+            if n == 0:
+                break
+            if n < 0:                               # block with byte-size
+                n = -n
+                _, pos = _read_long(mv, pos)
+            for _ in range(n):
+                if keyed:
+                    kl, pos = _read_long(mv, pos)
+                    k = bytes(mv[pos:pos + kl]).decode("utf-8")
+                    pos += kl
+                    out[k], pos = item_dec(mv, pos)
+                else:
+                    v, pos = item_dec(mv, pos)
+                    out.append(v)
+        return out, pos
+    return dec
+
+
+def _decoder_raw(at, names: dict):
+    """(mv, pos) -> (python value, pos) for ANY avro type — used inside
+    flattened map/record values, so complex types stay python-native
+    (dict/list/str/bytes) for one json.dumps at the field boundary."""
+    if isinstance(at, str) and at in names:
+        at = names[at]
+    if isinstance(at, list):                        # general union
+        branches = [None if t == "null" else _decoder_raw(t, names)
+                    for t in at]
+
+        def dec(mv, pos):
+            idx, pos = _read_long(mv, pos)
+            b = branches[idx]
+            return (None, pos) if b is None else b(mv, pos)
+        return dec
+    if isinstance(at, dict):
+        t = at.get("type")
+        if t == "map":
+            return _blocked(_decoder_raw(at["values"], names), keyed=True)
+        if t == "record":
+            fds = [(f["name"], _decoder_raw(f["type"], names))
+                   for f in at["fields"]]
+
+            def dec(mv, pos):
+                row = {}
+                for name, d in fds:
+                    row[name], pos = d(mv, pos)
+                return row, pos
+            return dec
+        if t == "enum":
+            syms = at["symbols"]
+
+            def dec(mv, pos):
+                i, pos = _read_long(mv, pos)
+                return syms[i], pos
+            return dec
+        if t == "fixed":
+            size = int(at["size"])
+            return lambda mv, pos: (bytes(mv[pos:pos + size]), pos + size)
+        if t == "array":
+            return _blocked(_decoder_raw(at["items"], names), keyed=False)
+    return _decoder_for(at, names)                  # logicals + primitives
+
+
+def _decoder_for(at, names: dict | None = None):
+    """(mv, pos) -> (value, pos) producing the SPARK-facing value for a
+    field type: unions read their branch index, map/record flatten to a
+    compact JSON string (reference avro.rs:105-144), enum to its symbol,
+    fixed to bytes."""
+    names = names or {}
+    if isinstance(at, str) and at in names:
+        at = names[at]
+    if isinstance(at, list):                        # union incl. null branch
+        branches = [None if t == "null" else _decoder_for(t, names)
+                    for t in at]
+
+        def dec(mv, pos):
+            idx, pos = _read_long(mv, pos)
+            b = branches[idx]
+            return (None, pos) if b is None else b(mv, pos)
+        return dec
     if isinstance(at, dict):
         lt = at.get("logicalType")
         if lt == "date":
@@ -200,24 +330,20 @@ def _decoder_for(at):
                 us, pos = _read_long(mv, pos)
                 return pd.Timestamp(us * 1000), pos
             return dec
-        if at.get("type") == "array":
-            item = _decoder_for(at["items"])
+        t = at.get("type")
+        if t == "array":
+            return _blocked(_decoder_for(at["items"], names), keyed=False)
+        if t in ("map", "record"):
+            raw = _decoder_raw(at, names)
 
             def dec(mv, pos):
-                out = []
-                while True:
-                    n, pos = _read_long(mv, pos)
-                    if n == 0:
-                        break
-                    if n < 0:                       # block with byte-size
-                        n = -n
-                        _, pos = _read_long(mv, pos)
-                    for _ in range(n):
-                        v, pos = item(mv, pos)
-                        out.append(v)
-                return out, pos
+                v, pos = raw(mv, pos)
+                return json.dumps(v, default=_json_default,
+                                  separators=(",", ":")), pos
             return dec
-        return _decoder_for(at["type"])
+        if t in ("enum", "fixed"):
+            return _decoder_raw(at, names)
+        return _decoder_for(t, names)
     if at == "boolean":
         return lambda mv, pos: (bool(mv[pos]), pos + 1)
     if at in ("int", "long"):
@@ -328,10 +454,12 @@ def decode_container(raw: bytes):
     pos += 16
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    fields = []
-    for f in schema["fields"]:
-        nullable, t = _union_parts(f["type"])
-        fields.append((f["name"], nullable, _decoder_for(t)))
+    names: dict = {}
+    _collect_named(schema, names)
+    # the decoder handles the union branch index itself (correct for any
+    # branch order, e.g. ["long","null"] as well as ["null","long"])
+    fields = [(f["name"], _decoder_for(f["type"], names))
+              for f in schema["fields"]]
 
     rows = []
     end = len(raw)
@@ -350,12 +478,7 @@ def decode_container(raw: bytes):
         p = 0
         for _ in range(n):
             row = {}
-            for name, nullable, dec in fields:
-                if nullable:
-                    idx, p = _read_long(payload, p)
-                    if idx == 0:
-                        row[name] = None
-                        continue
+            for name, dec in fields:
                 row[name], p = dec(payload, p)
             rows.append(row)
     return schema, rows

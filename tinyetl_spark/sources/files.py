@@ -66,15 +66,19 @@ _AVRO_JVM_PROBE: dict[int, bool] = {}
 
 
 def _avro_jvm_available(spark: SparkSession) -> bool:
-    """True iff the spark-avro data source is on the JVM classpath.
-    Probed once per SparkContext so a missing package routes to the
-    pure-Python codec while every OTHER avro error (bad path, corrupt
-    container, schema mismatch, bad options) propagates to the caller."""
+    """True iff the spark-avro data source module is deployed. Probed once
+    per SparkContext with Spark's own ``DataSource.lookupDataSource`` (a
+    bare Class.forName is too weak: avro *classes* ship in the Spark
+    distro without the data source being registered). An undeployed module
+    routes to the pure-Python codec, while every OTHER avro error (bad
+    path, corrupt container, schema mismatch, bad options) propagates."""
     key = id(spark.sparkContext._jsc)
     if key not in _AVRO_JVM_PROBE:
+        jvm = spark._jvm
         try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.avro.AvroFileFormat")
+            jvm.org.apache.spark.sql.execution.datasources.DataSource \
+               .lookupDataSource("avro",
+                                 jvm.org.apache.spark.sql.internal.SQLConf.get())
             _AVRO_JVM_PROBE[key] = True
         except Exception:
             _AVRO_JVM_PROBE[key] = False
