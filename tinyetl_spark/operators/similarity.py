@@ -41,18 +41,35 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """For each query vector, the k nearest neighbors by cosine
-    (excluding itself). Output: (query_id, neighbor_id, cos, rank)."""
+    (excluding itself). Output: (query_id, neighbor_id, cos, rank).
+
+    Two-stage top-k: stage 1 ranks within (scan partition, query) — every
+    group is bounded by one partition's corpus slice — and keeps k; stage
+    2 merge-ranks only ``partitions x k`` survivors per query. A single
+    global ``Window.partitionBy(query_id)`` would instead funnel each
+    query's ENTIRE scored corpus into one task — a per-query
+    single-partition bottleneck at 100x scale. Global top-k equals top-k
+    of the per-partition top-ks (ties broken identically at both stages),
+    so results are exact and oracle-stable."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
     base = _spread(df).select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("nvec"))
     scored = (base.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
                   .withColumn("cos", cosine(F.col("qvec"), F.col("nvec"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id",
-                          F.round("cos", 6).alias("cos"), "rank"))
+    order = [F.desc("cos"), F.asc("neighbor_id")]
+    # _pid is projected BEFORE the stage-1 exchange (non-deterministic
+    # expressions are not pushed through it), so it tags the SCAN
+    # partition: stage-1 groups are one partition's slice of one query.
+    w_part = Window.partitionBy("_pid", "query_id").orderBy(*order)
+    partial = (scored.withColumn("_pid", F.spark_partition_id())
+                     .withColumn("_prank", F.row_number().over(w_part))
+                     .filter(F.col("_prank") <= k))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k)
+                   .select("query_id", "neighbor_id",
+                           F.round("cos", 6).alias("cos"), "rank"))
 
 
 def rp_signature(vec: Column, dim: int, bits: int = 8) -> Column:

@@ -20,7 +20,7 @@ key appeared in.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -85,14 +85,25 @@ def run_url_stats_to_completion(spark: SparkSession, log_dir: str,
     outputs for a full view, or query the state store on a real cluster.
     Resuming from the same checkpoint restores the state store, so counts
     continue across runs (tested)."""
+    import os
+
     from tinyetl_spark.sources.eventlog import stream_event_log
     events = stream_event_log(spark, log_dir)
-    rows: list[Any] = []
+    out_dir = os.path.join(checkpoint_dir, "url_stats_updates")
+    run_paths: list[str] = []
 
     # foreachBatch, not the memory sink: memory-sink queries refuse to
     # RECOVER from a checkpoint, and checkpointed state is the point here.
+    # The sink APPENDS each batch's update-mode output to parquet — an
+    # O(batch) distributed write, never a driver-side collect (at 10^8
+    # distinct urls a driver drain OOMs). A fixed per-batch path with
+    # mode=overwrite keeps foreachBatch retries idempotent; only the path
+    # STRINGS (O(batches)) live on the driver.
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows.extend(batch_df.collect())
+        path = os.path.join(out_dir, f"batch-{batch_id:09d}")
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+                 .write.mode("overwrite").parquet(path))
+        run_paths.append(path)
 
     q = (running_url_stats_stream(events)
          .writeStream.queryName(query_name)
@@ -101,9 +112,14 @@ def run_url_stats_to_completion(spark: SparkSession, log_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    out = spark.createDataFrame(rows, OUTPUT_SCHEMA) if rows \
-        else spark.createDataFrame([], OUTPUT_SCHEMA)
+    if not run_paths:
+        return spark.createDataFrame([], OUTPUT_SCHEMA)
+    # LWW resolution in Spark: the latest update per key this run
+    # (batch_id is authoritative; n_events is monotone so it tie-breaks
+    # identically on replays of the same batch).
     from pyspark.sql import Window
-    w = Window.partitionBy("url").orderBy(F.desc("n_events"))
-    return (out.withColumn("_rn", F.row_number().over(w))
-               .filter("_rn = 1").drop("_rn"))
+    w = Window.partitionBy("url").orderBy(F.desc("_batch_id"),
+                                          F.desc("n_events"))
+    return (spark.read.parquet(*run_paths)
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter("_rn = 1").drop("_rn", "_batch_id"))
