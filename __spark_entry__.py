@@ -499,6 +499,39 @@ def q_approx_distinct(spark, sf_dir):
                    F.count("*").alias("n")))
 
 
+def q_orders_above_cust_avg(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution): orders priced more than
+    1.2x their own customer's average order value."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql("""
+        select o_orderkey, o_custkey, round(o_totalprice, 4) as price
+        from sq_orders o
+        where o_totalprice > (select avg(o2.o_totalprice) * 1.2
+                              from sq_orders o2
+                              where o2.o_custkey = o.o_custkey)
+        order by o_orderkey
+    """)
+
+
+def q_user_running_value(spark, sf_dir):
+    """Window frames beyond ranking: running sum (unbounded preceding),
+    5-row moving average, and lag delta per user in event-time order.
+    The frame order (ts, event_id) is a total order, so the in-frame fold
+    is deterministic and oracle-reproducible."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    mov = F.avg("value").over(w.rowsBetween(-4, 0))
+    prev = F.lag("value").over(w)
+    return (ev.select("user_id", "event_id",
+                      F.round(run, 6).alias("running_sum"),
+                      F.round(mov, 6).alias("mov_avg5"),
+                      F.round(F.col("value") - prev, 6).alias("delta_prev"))
+              .orderBy("user_id", "event_id"))
+
+
 # ----------------------------------------------------------- contract API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -539,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_clicks": q_range_join_clicks,
         "ann_ivf_topk": ann_ivf_topk,
         "q_approx_distinct": q_approx_distinct,
+        "q_orders_above_cust_avg": q_orders_above_cust_avg,
+        "q_user_running_value": q_user_running_value,
     }
 
 
@@ -898,6 +933,30 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select query_id, neighbor_id, round(cos, 6) as cos, rank
             from ranked where rank <= 10
+        """,
+        "q_orders_above_cust_avg": """
+            select o_orderkey, o_custkey, round(o_totalprice, 4) as price
+            from orders o
+            where o_totalprice > (select avg(o2.o_totalprice) * 1.2
+                                  from orders o2
+                                  where o2.o_custkey = o.o_custkey)
+            order by o_orderkey
+        """,
+        "q_user_running_value": """
+            select user_id, event_id,
+                   round(sum(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows between unbounded preceding
+                                          and current row), 6) as running_sum,
+                   round(avg(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows between 4 preceding
+                                          and current row), 6) as mov_avg5,
+                   round(value - lag(value) over (partition by user_id
+                                                  order by ts, event_id),
+                         6) as delta_prev
+            from events
+            order by user_id, event_id
         """,
         # q_approx_distinct: HLL sketch is approximate -> rows-only check.
         # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)

@@ -60,12 +60,14 @@ def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
                       shuffle_partitions=max(cores, 8), extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     n_base = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    # 8M events in 2 micro-batches of 4M: a 10^10-event production stream
+    # 16M events in 2 micro-batches of 8M: a 10^10-event production stream
     # on a 1000-executor cluster runs ~10^8-event micro-batches, so LARGE
     # batches are the realistic shape — and they amortize the per-batch
     # fixed cost (driver planning + trigger bookkeeping, measured ~0.7-1.1
-    # s/batch) that otherwise caps measured scaling efficiency (Amdahl).
-    n_events = n_base * 80
+    # s/batch) that otherwise caps measured scaling efficiency (Amdahl:
+    # ~2s of serial section was 8% of the 8-core window at 4M batches,
+    # 4% at 8M).
+    n_events = n_base * 160
     n_urls = max(n_events // 20, 100)
 
     # Warm the Python worker pool + codegen before the measured window:
@@ -125,6 +127,63 @@ def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
         spark.stop()
 
 
+def run_commit_cost(cores: int) -> dict:
+    """Commit-cost flatness check: driver bookkeeping (manifest read +
+    snapshot commit) must stay O(num_buckets) and well below the data
+    write at the documented 100 TB bucket count (4096) — measured via the
+    TINYETL_MERGE_TIMING segments of a seed copy-on-write merge and a
+    steady-state MOR merge, at 32 and at 4096 buckets."""
+    sys.path.insert(0, REPO)
+    os.environ["TINYETL_MERGE_TIMING"] = "1"
+    from tinyetl_spark import datagen
+    from tinyetl_spark.lake import LakeTable
+    from tinyetl_spark.lake import merge as merge_mod
+    from tinyetl_spark.schema import PAGES_SCHEMA
+    from tinyetl_spark.session import get_spark
+
+    extra = {}
+    if _fast_tmp():
+        extra["spark.local.dir"] = f"{_fast_tmp()}/spark-local"
+    spark = get_spark(app_name="commit-cost-bench", cores=cores,
+                      shuffle_partitions=max(cores, 8), extra_conf=extra)
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = datagen.change_events(spark, 1_000_000, 250_000, seed=9,
+                               num_partitions=max(cores, 8))
+    out = {}
+    for nb in (32, 4096):
+        work = tempfile.mkdtemp(prefix=f"tinyetl_cc{nb}_", dir=_fast_tmp())
+        try:
+            t = LakeTable.create(spark, f"{work}/t", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=nb)
+            merge_mod.merge_apply(t, ev.filter("event_seq < 500000"), 0)
+            seed = dict(merge_mod.LAST_TIMING or {})
+            merge_mod.merge_apply(t, ev.filter("event_seq >= 500000"), 1,
+                                  mode="mor")
+            mor = dict(merge_mod.LAST_TIMING or {})
+            out[str(nb)] = {"seed_cow_segments_s": seed,
+                            "mor_segments_s": mor}
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return out
+
+
+def run_commit_cost_subprocess(env: dict) -> dict:
+    cores = 8
+    cmd = [sys.executable, os.path.abspath(__file__), "--commit-cost",
+           "--cores", str(cores)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        print(p.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError("commit-cost subprocess failed")
+    res = json.loads(lines[-1])
+    print(f"  commit-cost: {res}", file=sys.stderr)
+    return res
+
+
 def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
@@ -146,8 +205,11 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
 def write_baseline_md(result: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    lo, hi = result["scaling"]["low"], result["scaling"]["high"]
-    eff = result["scaling"]["efficiency"]
+    sc = result["scaling"]
+    lo, hi = sc["low"], sc["high"]
+    rr = sc.get("rounds_eps", {})
+    med = sc.get("median_eps", {})
+    nx = hi["cores"] // lo["cores"]
     lines = [
         "# BENCH/BASELINE.md — measured results (tinyetl_spark)",
         "",
@@ -158,17 +220,19 @@ def write_baseline_md(result: dict) -> None:
         "",
         "## Primary metric: MERGE-apply throughput",
         "",
-        "| parallelism | events | seconds | events/sec |",
+        "| parallelism | rounds (events/sec) | median | best |",
         "|---|---|---|---|",
-        f"| local[{lo['cores']}] | {lo['events']} | {lo['seconds']} | {lo['events_per_sec']} |",
-        f"| local[{hi['cores']}] | {hi['events']} | {hi['seconds']} | {hi['events_per_sec']} |",
+        f"| local[{lo['cores']}] | {rr.get('low')} | {med.get('low')} | {lo['events_per_sec']} |",
+        f"| local[{hi['cores']}] | {rr.get('high')} | {med.get('high')} | {hi['events_per_sec']} |",
         "",
-        f"**Scaling efficiency (N→{hi['cores']//lo['cores']}N cores)** = "
-        f"({hi['events_per_sec']}/{lo['events_per_sec']}) / {hi['cores']//lo['cores']} = **{eff}** "
-        "(north-rule criterion: ≥0.8; sandbox protocol per driver instruction — "
-        "same job, same input, two parallelism levels in separate JVMs, each "
-        "taskset-pinned to its core budget, best-of-3 interleaved rounds to "
-        "damp shared-VM noise).",
+        f"**Scaling efficiency (N→{nx}N cores)**: "
+        f"median-of-equal-rounds = **{sc['efficiency']}** (the conservative "
+        f"headline the ≥0.8 criterion is judged on); best-of = "
+        f"{sc.get('efficiency_best')} (clean-mode estimate — this shared VM's "
+        "degradation episodes only ever slow runs down). Protocol per driver "
+        "instruction: same job, same input, two parallelism levels in "
+        "separate JVMs, each taskset-pinned to its core budget, EQUAL "
+        "interleaved round counts per level.",
         "",
         "Reference claim (TinyETL README.md:29): 180k rows/sec single-thread batch copy —",
         "no MERGE, no dedup, no exactly-once. "
@@ -183,6 +247,29 @@ def write_baseline_md(result: dict) -> None:
     ]
     for k, v in result["queries"].items():
         lines.append(f"| {k} | {v} |")
+    cc = result.get("commit_cost")
+    if cc:
+        lines += [
+            "",
+            "## Commit-cost flatness at production bucket counts",
+            "",
+            "Driver bookkeeping (manifest read at `snapshot`, atomic "
+            "snapshot write at `commit`) must stay O(num_buckets) and well "
+            "below the data write at the documented 100 TB setting "
+            "(num_buckets=4096). Segments of a 500k-event seed COW merge "
+            "and a 500k-event steady-state MOR merge, local[8]:",
+            "",
+            "| num_buckets | phase | snapshot | plan | job_write | commit |",
+            "|---|---|---|---|---|---|",
+        ]
+        for nb, segs in cc.items():
+            for phase, key in [("seed cow", "seed_cow_segments_s"),
+                               ("mor", "mor_segments_s")]:
+                s = segs[key]
+                lines.append(
+                    f"| {nb} | {phase} | {s.get('snapshot')} | "
+                    f"{s.get('plan_built')} | {s.get('job_write')} | "
+                    f"{s.get('commit')} |")
     lines.append(ANALYSIS)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
@@ -234,13 +321,14 @@ Sandbox hazards found, reproduced, and mitigated:
   all measured levels stay on the lower half, best-of-N interleaved.
 - the episodes are ASYMMETRIC (they only slow runs down) and hit higher
   concurrency far more often: across many invocations 2-core rounds
-  spread 106-117k events/s while 8-core rounds spread 255-383k. Best-of
-  therefore estimates each level's clean mode, and the high level samples
-  twice as many rounds (variance-matched). Single-invocation efficiency
-  estimates ranged 0.75-0.86 during development purely on whether the
-  8-core level drew a clean round; the task-metric decomposition above is
-  the level-independent evidence that the engine itself adds no serial
-  section.
+  spread 106-117k events/s while 8-core rounds spread 255-383k. Both
+  levels now run EQUAL interleaved round counts and the report carries
+  two estimators: the median (conservative headline, judged against the
+  criterion) and the best-of (clean-mode estimate). Single-invocation
+  efficiency estimates ranged 0.75-0.95 during development purely on
+  whether the 8-core level drew a clean round; the task-metric
+  decomposition above is the level-independent evidence that the engine
+  itself adds no serial section.
 
 Reference comparison: TinyETL claims 180k rows/sec for a single-threaded
 plain batch copy with no dedup/merge/exactly-once (README.md:29). This
@@ -256,25 +344,28 @@ def main() -> None:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         print(json.dumps(run_cdc_ingest(cores, SF_DIR)))
         return
+    if "--commit-cost" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        print(json.dumps(run_commit_cost(cores)))
+        return
 
     env = {**os.environ, "PYTHONPATH": REPO}
     # sweep shuffle dirs leaked by crashed runs — they live in RAM (tmpfs)
     if _fast_tmp():
         shutil.rmtree(f"{_fast_tmp()}/spark-local", ignore_errors=True)
     scaling = {}
-    # Alternating rounds per level, keep the best: the sandbox host is a
-    # shared VM whose degradation episodes ONLY slow runs down (asymmetric
-    # noise), so best-of-N estimates each level's clean-mode throughput.
-    # The episodes hit higher-concurrency runs far more often (measured:
-    # 2-core rounds spread 106-117k, 8-core rounds 255-383k), so the HIGH
-    # level gets extra rounds to sample its clean mode with the same
-    # confidence — same estimator, variance-matched sampling.
-    # low level: tight spread (±5% across many invocations) -> 2 rounds
-    # suffice; high level: right-skewed episodes -> 5 rounds to sample the
-    # clean mode. Keeps the whole bench near the round-1 wall-clock.
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+    samples: dict[str, list[dict]] = {"low": [], "high": []}
+    # EQUAL alternating rounds per level (review finding: best-of-N with
+    # asymmetric N inflates the high level's estimate relative to the
+    # low's, biasing the efficiency ratio upward). Both levels get the
+    # same number of interleaved rounds; the report carries BOTH
+    # estimators — median (the conservative headline the criterion is
+    # judged on) and best-of (the clean-mode estimate, justified by the
+    # measured asymmetric degradation episodes of this shared VM, which
+    # only ever slow runs down).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     high_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_ROUNDS",
-                                     str(2 * rounds + 1)))
+                                     str(rounds)))
     # Default pair 2 vs 8 (N vs 4N): this VM inflates the core-seconds of
     # IDENTICAL work as concurrency rises (measured on the same merge:
     # +14% at 8 threads, +28-54% at 16 — memory-subsystem contention of
@@ -303,13 +394,20 @@ def main() -> None:
                 raise RuntimeError(f"cdc bench subprocess failed at {cores} cores")
             res = json.loads(lines[-1])
             print(f"  cdc@local[{cores}]: {res}", file=sys.stderr)
+            samples[label].append(res)
             if label not in scaling or res["events_per_sec"] > scaling[label]["events_per_sec"]:
                 scaling[label] = res
-    eff = round(
+    import statistics
+    med = {lbl: round(statistics.median(r["events_per_sec"] for r in rs), 1)
+           for lbl, rs in samples.items()}
+    ratio = scaling["high"]["cores"] / scaling["low"]["cores"]
+    eff_best = round(
         (scaling["high"]["events_per_sec"] / scaling["low"]["events_per_sec"])
-        / (scaling["high"]["cores"] / scaling["low"]["cores"]), 3)
+        / ratio, 3)
+    eff_median = round((med["high"] / med["low"]) / ratio, 3)
 
     queries = run_queries(SF_DIR, CPUS)
+    commit_cost = run_commit_cost_subprocess(env)
 
     result = {
         "metric": "merge_apply_events_per_sec",
@@ -318,8 +416,19 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "cpus": CPUS,
-        "scaling": {"low": scaling["low"], "high": scaling["high"],
-                    "efficiency": eff},
+        "scaling": {
+            "low": scaling["low"], "high": scaling["high"],
+            "rounds_eps": {lbl: [r["events_per_sec"] for r in rs]
+                           for lbl, rs in samples.items()},
+            "median_eps": med,
+            # conservative headline: median over EQUAL round counts; the
+            # best-of (clean-mode) estimate is reported alongside
+            "efficiency": eff_median,
+            "efficiency_best": eff_best,
+            "estimator": f"median of {rounds} interleaved rounds per level"
+                         " (best-of alongside)",
+        },
+        "commit_cost": commit_cost,
     }
     write_baseline_md(result)
     print(json.dumps(result))

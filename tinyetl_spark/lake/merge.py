@@ -104,6 +104,11 @@ class MergeStats:
 FENCE_PREFIX = "fence."
 LAST_IN_PROP = "last_events_in"
 
+# segment durations of the most recent timed merge_apply in this process
+# ({label: seconds}; populated when TINYETL_MERGE_TIMING=1) — lets the
+# bench read commit/bookkeeping cost without parsing stdout
+LAST_TIMING: dict[str, float] | None = None
+
 
 class _SlotStatsParam(AccumulatorParam):
     """{slot -> {bucket -> [rows_out, batch_events, deletes]}}.
@@ -207,12 +212,16 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         use_mor = False
 
     events_in: int | None = None
-    if use_mor or dense:
+    table_empty = not snap.files
+    if use_mor or dense or table_empty:
         # touch-all is a correct superset; skipping the histogram probe
         # saves one Spark job per batch (the probe only pays off when the
-        # batch is SPARSE and copy-on-write can prune most of the table).
+        # batch is SPARSE and copy-on-write can prune most of the table —
+        # an EMPTY table has nothing to prune, so its first batch skips
+        # the probe too; the file count stays O(touched buckets) because
+        # empty shuffle partitions write no file).
         touched = set(range(num_b))
-        if not use_mor and batch.isEmpty():
+        if not use_mor and dense and batch.isEmpty():
             # dense copy-on-write would union-and-rewrite EVERY bucket; a
             # limit-1 scan (one cheap job, stops at the first row) guards
             # the full-table rewrite on an empty micro-batch. MOR needs no
@@ -437,8 +446,10 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     stats.snapshot_version = committed.version
     mark("commit")
     if timing:
-        segs = ", ".join(f"{lbl}={t1 - t0:.2f}s" for (_, t0), (lbl, t1)
-                         in zip(tmarks, tmarks[1:]))
+        global LAST_TIMING
+        LAST_TIMING = {lbl: round(t1 - t0, 3) for (_, t0), (lbl, t1)
+                       in zip(tmarks, tmarks[1:])}
+        segs = ", ".join(f"{lbl}={v:.2f}s" for lbl, v in LAST_TIMING.items())
         print(f"[merge-timing] batch={batch_id} strategy={stats.strategy} {segs}",
               flush=True)
     return stats
