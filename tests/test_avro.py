@@ -177,6 +177,34 @@ def test_jvm_complex_types_flatten_to_json(spark, tmpdir_path):
     assert rows[2]["e"] == "BLUE" and bytes(rows[2]["fx"]) == b"abcd"
 
 
+def test_jvm_mixed_union_flattens_to_json(spark, tmpdir_path):
+    """A multi-branch union field (["null","int","string"]) becomes a
+    string column whose values are JSON-encoded per branch — the Spark
+    analogue of the reference's per-value union unwrap (avro.rs:109)."""
+    jvm = spark._jvm
+    schema_json = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "u", "type": ["null", "int", "string"],
+             "default": None}]})
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    gd = jvm.org.apache.avro.generic.GenericData
+    wtr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    path = f"{tmpdir_path}/mixed.avro"
+    wtr.create(sch, jvm.java.io.File(path))
+    for i, v in [(1, 5), (2, "x"), (3, None)]:
+        rec = gd.Record(sch)
+        rec.put("id", i)
+        rec.put("u", v)
+        wtr.append(rec)
+    wtr.close()
+    back = read_avro(spark, path)
+    assert back.schema["u"].dataType.typeName() == "string"
+    got = {r["id"]: r["u"] for r in back.collect()}
+    assert got == {1: "5", 2: '"x"', 3: None}
+
+
 def test_container_primitives():
     import pandas as pd
     schema = spark_to_avro_schema(

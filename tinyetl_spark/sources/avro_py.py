@@ -110,7 +110,13 @@ def _spark_type_of(at, names: dict | None = None) -> DataType:
     if isinstance(at, list):                      # union — strip null branch
         non_null = [t for t in at if t != "null"]
         if len(non_null) != 1:
-            raise ValueError(f"avro_py: unsupported union {at}")
+            # multi-branch union: one Spark type when all branches agree,
+            # else flatten every value to a JSON string (the reference
+            # unwraps unions per VALUE into a dynamically-typed cell,
+            # avro.rs:109 — a fixed-schema column can't, so it stringifies)
+            kinds = {_spark_type_of(t, names).simpleString() for t in non_null}
+            if len(kinds) > 1:
+                return StringType()
         return _spark_type_of(non_null[0], names)
     if isinstance(at, dict):
         lt = at.get("logicalType")
@@ -308,8 +314,22 @@ def _decoder_for(at, names: dict | None = None):
     if isinstance(at, str) and at in names:
         at = names[at]
     if isinstance(at, list):                        # union incl. null branch
-        branches = [None if t == "null" else _decoder_for(t, names)
-                    for t in at]
+        non_null = [t for t in at if t != "null"]
+        mixed = len({_spark_type_of(t, names).simpleString()
+                     for t in non_null}) > 1
+
+        def branch_dec(t):
+            if not mixed:
+                return _decoder_for(t, names)
+            raw = _decoder_raw(t, names)            # mixed union -> every
+
+            def dec_json(mv, pos, raw=raw):         # value becomes JSON
+                v, pos = raw(mv, pos)
+                return json.dumps(v, default=_json_default,
+                                  separators=(",", ":")), pos
+            return dec_json
+
+        branches = [None if t == "null" else branch_dec(t) for t in at]
 
         def dec(mv, pos):
             idx, pos = _read_long(mv, pos)
