@@ -429,6 +429,49 @@ def stream_windowed_counts(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_sessionized_counts(spark, sf_dir):
+    """Structured Streaming SESSION windows — the stateful window-MERGE
+    operator in the state store (F.session_window, 30-min gap), drained
+    availableNow in append mode. Append mode only emits a session after
+    the watermark passes its close, so a synthetic flush event per user
+    2h after stream end closes every real session deterministically (the
+    flush-only sessions are filtered from the output). Session semantics:
+    Spark merges windows that OVERLAP, i.e. a gap of exactly 30:00 starts
+    a new session — the oracle's islands CTE uses `>= 1800` to match.
+    Oracle: batch gaps-and-islands SQL over the same events."""
+    import datetime
+    import uuid as _uuid
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    mx = ev.agg(F.max("ts")).collect()[0][0]      # driver scalar (test-scale)
+    cutoff = mx + datetime.timedelta(hours=2)
+    flush = (ev.select("user_id").distinct()
+               .withColumn("ts", F.lit(cutoff).cast("timestamp")))
+    work = tempfile.mkdtemp(prefix="tinyetl_ssw_")
+    try:
+        ev.unionByName(flush).repartition(4).write.parquet(f"{work}/in")
+        name = "ssw_" + _uuid.uuid4().hex[:8]
+        q = (spark.readStream.schema("user_id long, ts timestamp")
+             .option("maxFilesPerTrigger", "2").parquet(f"{work}/in")
+             .withWatermark("ts", "1 second")
+             .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      F.col("user_id"))
+             .agg(F.count("*").alias("n_events"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.table(name)
+               .filter(F.col("w.start") < F.lit(cutoff))
+               .select("user_id", F.col("w.start").alias("session_start"),
+                       "n_events")
+               .orderBy("user_id", "session_start"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def ann_embedding_dups(spark, sf_dir):
     """Embedding near-dup pairs via BANDED 16-bit sign-LSH + exact cosine
     — full SQL oracle (hyperplanes derived from md5 hex, reproducible in
@@ -574,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": q_approx_distinct,
         "q_orders_above_cust_avg": q_orders_above_cust_avg,
         "q_user_running_value": q_user_running_value,
+        "stream_sessionized_counts": stream_sessionized_counts,
     }
 
 
@@ -957,6 +1001,23 @@ def oracle_sql() -> dict[str, str]:
                          6) as delta_prev
             from events
             order by user_id, event_id
+        """,
+        "stream_sessionized_counts": """
+            with marked as (
+              select user_id, ts, event_id,
+                     case when lag(ts) over w is null
+                               or epoch(ts) - epoch(lag(ts) over w) >= 1800
+                          then 1 else 0 end as new_s
+              from events window w as (partition by user_id order by ts, event_id)),
+            numbered as (
+              select user_id, ts,
+                     cast(sum(new_s) over (partition by user_id order by ts, event_id
+                                           rows between unbounded preceding and current row)
+                          as bigint) as sno
+              from marked)
+            select user_id, min(ts) as session_start, count(*) as n_events
+            from numbered group by user_id, sno
+            order by user_id, session_start
         """,
         # q_approx_distinct: HLL sketch is approximate -> rows-only check.
         # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)
