@@ -86,7 +86,14 @@ def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
     from tinyetl_spark.sources.eventlog import append_events
     from tinyetl_spark.streaming.pipeline import run_to_completion
 
-    extra = {"spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch"}
+    extra = {"spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch",
+             # ~11MB log segments: 1 file = 1 split, so scan tasks pack
+             # into even waves at any core count (the default 128MB
+             # packing made 9 heavy + 9 sliver splits out of 64 files —
+             # the last heavy task ran ALONE for ~5s per batch at 8
+             # cores). On a real cluster this is the same knob sized to
+             # segment roll size.
+             "spark.sql.files.maxPartitionBytes": "16m"}
     if _fast_tmp():
         extra["spark.local.dir"] = f"{_fast_tmp()}/spark-local"
     spark = get_spark(app_name=f"cdc-bench-{cores}", cores=cores,

@@ -26,7 +26,23 @@ EDGE_CASES = [
     # (&amp; last) — neither may rescan its own output.
     b"&amp;lt;x&amp;gt; &amp;quot; &amp;amp; &amp;#39;",
     b"&amp;&amp;lt;&lt;&amp;gt;",
+    # whitespace-adversarial: the hot path collapses runs with
+    # " ".join(s.split()) instead of the oracle's \s+ regex — exercise
+    # exotic Unicode whitespace (NBSP, ideographic space, NEL, FS-US)
+    "a b　c\x85d\x1c\x1d\x1e\x1fe f".encode(),
+    " 　 leading and trailing   ".encode(),
 ]
+
+
+def test_ws_collapse_equivalence():
+    """The hot path's `" ".join(s.split())` equals the oracle's
+    `_RE_WS.sub(" ", s).strip()` iff re's \\s and str.isspace agree —
+    assert that exhaustively over the BMP plus astral samples."""
+    import re
+    ws = re.compile(r"\s")
+    for cp in list(range(0x11000)) + [0x1D7FF, 0x1F600]:
+        ch = chr(cp)
+        assert bool(ws.fullmatch(ch)) == ch.isspace(), hex(cp)
 
 
 def test_reference_extractor_edge_cases():

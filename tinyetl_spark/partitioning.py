@@ -70,6 +70,29 @@ def slot_for_bucket(bucket: int, slots: int) -> int:
     return ((h % slots) + slots) % slots
 
 
+def inverse_slot_keys(slots: int) -> list[int]:
+    """keys[p] = smallest non-negative long k with
+    ``slot_for_bucket(k, slots) == p`` — an inverse table for Spark's
+    HashPartitioning. ``repartition(slots, key_col)`` sends a row whose
+    key_col == keys[p] to partition p EXACTLY, which turns the
+    balls-in-bins bucket→partition assignment of ``repartition(slots,
+    "_bucket")`` into a chosen bijection. Hashing B distinct bucket ids
+    into B partitions leaves ~B/e partitions empty and piles 2-3 buckets
+    onto others (measured at B=32: 12 empty, max 3) — the straggler task
+    then runs 2-3x the median and idles the whole stage tail. Driver-side
+    coupon-collector scan, O(slots·ln slots) murmur evaluations (~34k for
+    4096 slots)."""
+    keys: list[int | None] = [None] * slots
+    found, k = 0, 0
+    while found < slots:
+        p = slot_for_bucket(k, slots)
+        if keys[p] is None:
+            keys[p] = k
+            found += 1
+        k += 1
+    return keys  # type: ignore[return-value]
+
+
 def with_salt(df: DataFrame, key: str, salt_n: int = 8,
               salt_col: str = "_salt") -> DataFrame:
     """Deterministic row-level salt (hash of the whole row id-space would
