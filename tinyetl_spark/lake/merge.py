@@ -126,6 +126,35 @@ class _SlotStatsParam(AccumulatorParam):
         return a
 
 
+# (num_b, slots, assignment) -> the _slotkey Column. A steady-state
+# stream re-derives the SAME routing every dense batch; building the
+# long[] literal costs ~0.5 s of py4j transfer at num_buckets=4096, so
+# the Column (an unbound expression, safe to reuse across DataFrames) is
+# cached. Bounded: sparse batches with changing touched-sets evict oldest.
+_SLOTKEY_CACHE: dict[tuple, Any] = {}
+
+
+def _slotkey_column(num_b: int, slots: int, bucket_slot: dict[int, int]):
+    """Column routing each _bucket to its chosen shuffle partition:
+    element_at over a long[] literal of inverse-murmur3 keys (ONE Literal
+    node — a python-list literal becomes a num_b-child array() constructor
+    costing ~2.3 s of per-batch plan analysis at 4096 buckets)."""
+    ck = (num_b, slots, tuple(sorted(bucket_slot.items())))
+    col = _SLOTKEY_CACHE.get(ck)
+    if col is None:
+        import numpy as np
+        slot_keys = inverse_slot_keys(slots)
+        key_arr = np.zeros(num_b, dtype=np.int64)
+        for bkt, s in bucket_slot.items():
+            key_arr[bkt] = slot_keys[s]
+        col = (F.element_at(F.lit(key_arr), (F.col("_bucket") + 1).cast("int"))
+                .cast("long"))  # murmur3 hashLong, not hashInt
+        if len(_SLOTKEY_CACHE) >= 8:
+            _SLOTKEY_CACHE.pop(next(iter(_SLOTKEY_CACHE)))
+        _SLOTKEY_CACHE[ck] = col
+    return col
+
+
 def last_committed_batch(table: LakeTable, stream_id: str) -> int:
     return int(table.snapshot().properties.get(FENCE_PREFIX + stream_id, -1))
 
@@ -300,19 +329,14 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     # partition = one file, so the touch-closure stays trivial), MOR
     # round-robins its buckets over the batch-sized slot count
     # (partition loads within one bucket of even).
-    slot_keys = inverse_slot_keys(slots)
     bucket_slot = {b: i % slots for i, b in enumerate(sorted(touched))}
-    key_arr = [0] * num_b
-    for bkt, s in bucket_slot.items():
-        key_arr[bkt] = slot_keys[s]
     from pyspark.sql import Observation
     obs = Observation()
     # events_in rides the scan as an observed metric — no counting job.
     unioned = (unioned_src
                .withColumn("_bucket", table.bucket_expr())
-               .withColumn("_slotkey", F.element_at(
-                   F.lit(key_arr), (F.col("_bucket") + 1).cast("int"))
-                   .cast("long"))  # murmur3 hashLong, not hashInt
+               .withColumn("_slotkey", _slotkey_column(num_b, slots,
+                                                       bucket_slot))
                .observe(obs, F.sum("_src").cast("long").alias("events_in"))
                .repartition(slots, "_slotkey")
                .sortWithinPartitions(F.col("_slotkey").asc(),
