@@ -575,6 +575,42 @@ def q_user_running_value(spark, sf_dir):
               .orderBy("user_id", "event_id"))
 
 
+def q_set_ops(spark, sf_dir):
+    """Distinct set operations INTERSECT / EXCEPT (reference parity: the
+    engine-level set semantics a user gets from chaining queries), tagged
+    and unioned into one deterministic result. Spark compiles INTERSECT
+    to a left-semi + distinct and EXCEPT to a left-anti + distinct — both
+    shuffle once on the key and broadcast when one side is small."""
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_nationkey") < 5)
+            .select(F.col("c_custkey").alias("custkey")))
+    active = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "O")
+              .select(F.col("o_custkey").alias("custkey")))
+    both = cust.intersect(active).withColumn("tag", F.lit("both"))
+    only_c = cust.exceptAll(active.distinct()).distinct() \
+        .withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only_c).orderBy("tag", "custkey")
+
+
+def q_window_ranks(spark, sf_dir):
+    """Ranking-function family not covered elsewhere: dense_rank, ntile,
+    percent_rank, cume_dist over account balance within a nation (total
+    order tie-broken by custkey so every rank is deterministic)."""
+    from pyspark.sql import Window
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 3)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (cust.select(
+                F.col("c_nationkey").cast("long").alias("nationkey"),
+                F.col("c_custkey").alias("custkey"),
+                F.dense_rank().over(w).cast("long").alias("drank"),
+                F.ntile(4).over(w).cast("long").alias("quartile"),
+                F.round(F.percent_rank().over(w), 6).alias("prank"),
+                F.round(F.cume_dist().over(w), 6).alias("cdist"))
+            .orderBy("nationkey", "custkey"))
+
+
 # ----------------------------------------------------------- contract API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -618,6 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_above_cust_avg": q_orders_above_cust_avg,
         "q_user_running_value": q_user_running_value,
         "stream_sessionized_counts": stream_sessionized_counts,
+        "q_set_ops": q_set_ops,
+        "q_window_ranks": q_window_ranks,
     }
 
 
@@ -1018,6 +1056,31 @@ def oracle_sql() -> dict[str, str]:
             select user_id, min(ts) as session_start, count(*) as n_events
             from numbered group by user_id, sno
             order by user_id, session_start
+        """,
+        "q_set_ops": """
+            with cust as (
+              select c_custkey as custkey from customer where c_nationkey < 5),
+            active as (
+              select o_custkey as custkey from orders where o_orderstatus = 'O')
+            select custkey, 'both' as tag from
+              (select custkey from cust intersect select custkey from active)
+            union all
+            select custkey, 'cust_only' as tag from
+              (select custkey from cust except select custkey from active)
+            order by tag, custkey
+        """,
+        "q_window_ranks": """
+            select cast(c_nationkey as bigint) as nationkey,
+                   c_custkey as custkey,
+                   cast(dense_rank() over w as bigint) as drank,
+                   cast(ntile(4) over w as bigint) as quartile,
+                   round(percent_rank() over w, 6) as prank,
+                   round(cume_dist() over w, 6) as cdist
+            from customer
+            where c_nationkey < 3
+            window w as (partition by c_nationkey
+                         order by c_acctbal desc, c_custkey asc)
+            order by nationkey, custkey
         """,
         # q_approx_distinct: HLL sketch is approximate -> rows-only check.
         # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)

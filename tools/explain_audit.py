@@ -17,7 +17,8 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "q_top3_customers_per_nation", "q_customers_without_orders",
          "q_events_windowed", "text_profile", "ann_cosine_topk",
-         "cdc_lww_latest", "q_orders_above_cust_avg", "q_user_running_value"]
+         "cdc_lww_latest", "q_orders_above_cust_avg", "q_user_running_value",
+         "q_set_ops", "q_window_ranks"]
 
 
 def audit(name, df):
