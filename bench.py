@@ -427,7 +427,12 @@ def main() -> None:
     # judged on) and best-of (the clean-mode estimate, justified by the
     # measured asymmetric degradation episodes of this shared VM, which
     # only ever slow runs down).
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    # 5 equal rounds per level: the host's degradation episodes are
+    # asymmetric (they only slow runs down) and hit the high level more
+    # often — a median of 5 stays clean with up to two degraded rounds,
+    # where a median of 3 flips on one (observed same-invocation high
+    # rounds spread 424-500k ev/s).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
     high_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_ROUNDS",
                                      str(rounds)))
     # Default pair 2 vs 8 (N vs 4N): this VM inflates the core-seconds of
