@@ -75,3 +75,68 @@ def test_concurrent_commit_detected(spark, tmpdir_path):
     with _pytest.raises(ConcurrentCommitError):
         t.commit(files=snap.files, summary={"operation": "compact"},
                  expected_base=base_v)
+
+
+def test_compact_deltas_absorbs_debt_only_touching_dirty_buckets(
+        spark, tmpdir_path):
+    """Targeted compaction rewrites ONLY delta-touched buckets: the final
+    state is unchanged, no delta files remain, clean base files carry
+    over by identity (same paths — zero IO on them), and the rewritten
+    buckets come back one file per bucket."""
+    from tests.test_merge import assert_state_equal
+
+    import pyspark.sql.functions as F
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                         key_col="url", num_buckets=16)
+    ev = datagen.change_events(spark, 2000, 300, seed=21)
+    merge_apply(t, ev.filter("event_seq < 1000"), 0)           # seed COW
+    # a bucket-restricted MOR batch leaves delta files over a SUBSET
+    sub = ev.filter("event_seq >= 1000").filter(
+        F.pmod(F.xxhash64("url"), F.lit(16)).isin(0, 1))
+    merge_apply(t, sub, 1, mode="mor")
+    snap = t.snapshot()
+    deltas = [f for f in snap.files if f.get("delta")]
+    assert deltas
+    delta_buckets = {b for f in deltas for b in f["buckets"]}
+    assert len(delta_buckets) < 16       # genuinely partial
+    clean_paths = {f["path"] for f in snap.files
+                   if not f.get("delta")
+                   and not (set(f["buckets"]) & delta_buckets)}
+    assert clean_paths                   # some buckets untouched by deltas
+
+    out = t.compact_deltas()
+    assert out.summary["operation"] == "compact_deltas"
+    assert not any(f.get("delta") for f in out.files)
+    # clean files carried by identity
+    assert clean_paths <= {f["path"] for f in out.files}
+    # rewritten buckets: one file per bucket (exact routing)
+    new_files = [f for f in out.files if f["path"] not in clean_paths]
+    for f in new_files:
+        assert len(f["buckets"]) == 1
+    assert {b for f in new_files for b in f["buckets"]} == delta_buckets
+    # state identical to applying both batches
+    applied = ev.filter("event_seq < 1000").unionByName(sub)
+    assert_state_equal(t, applied)
+    assert out.summary["total_rows"] == t.read(
+        include_tombstones=True).count()
+
+
+def test_compact_deltas_noop_and_fence_survival(spark, tmpdir_path):
+    """No deltas -> no new snapshot; and the epoch fence survives the
+    maintenance commit so a replayed batch still fences out."""
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                         key_col="url", num_buckets=8)
+    ev = datagen.change_events(spark, 800, 120, seed=5)
+    merge_apply(t, ev.filter("event_seq < 400"), 0, stream_id="s1")
+    v_before = t.current_version()
+    assert t.compact_deltas().version == v_before     # no deltas: no-op
+
+    merge_apply(t, ev.filter("event_seq >= 400"), 1, stream_id="s1",
+                mode="mor")
+    out = t.compact_deltas()
+    assert out.version == v_before + 2
+    assert out.properties.get("fence.s1") == 1        # fence carried
+    replay = merge_apply(t, ev.filter("event_seq >= 400"), 1,
+                         stream_id="s1")
+    assert replay.fenced                              # still fenced

@@ -141,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("table")
     mt.add_argument("--compact", action="store_true",
                     help="rewrite live data into a fresh file-set")
+    mt.add_argument("--compact-deltas", action="store_true",
+                    help="absorb merge-on-read delta files by rewriting "
+                         "only the delta-touched buckets")
     mt.add_argument("--expire-keep", type=int, default=None,
                     help="expire snapshots, keeping the last N")
     mt.add_argument("--metrics", action="store_true",
@@ -173,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
             snap = t.compact()
             print(f"compacted -> snapshot v{snap.version}, "
                   f"{len(snap.files)} files")
+        if args.compact_deltas:
+            snap = t.compact_deltas()
+            print(f"delta-compacted -> snapshot v{snap.version}, "
+                  f"{len(snap.files)} files "
+                  f"({snap.summary.get('rewritten_buckets', 0)} buckets "
+                  f"rewritten)")
         if args.expire_keep is not None:
             print(t.expire_snapshots(keep_last=args.expire_keep))
         if args.metrics:

@@ -335,15 +335,29 @@ class LakeTable:
                             f"snap-{snap_version}-{_uuid.uuid4().hex[:8]}")
 
     def write_files(self, df_with_extras: DataFrame, out_dir: str,
-                    slots: int) -> None:
-        """ONE linear job: hash-repartition on the physical ``_bucket``
-        column into ``slots`` partitions (≥2x the touched-bucket count so
-        bucket→slot collisions stay rare and most files hold one bucket)
-        and write plain parquet. No Hive partitionBy — measured ~10x the
-        cost of the write itself for many small partitions; bucketing is
-        recorded in the manifest instead."""
-        (df_with_extras.repartition(slots, "_bucket")
-                       .write.mode("append").parquet(out_dir))
+                    slots: int, buckets: set[int] | None = None) -> None:
+        """ONE linear job: route each ``_bucket`` to a CHOSEN partition
+        via inverse-murmur3 keys (hash-repartitioning on the bucket id
+        itself is balls-in-bins — ~1/e of partitions end up empty and
+        2-3 buckets pile onto others, so the straggler task idles the
+        stage tail) and write plain parquet. When ``buckets`` is given
+        (the writer knows exactly which buckets occur), they are ranked
+        into ``slots`` round-robin — a bijection when slots == count;
+        otherwise every possible bucket routes to ``bucket % slots``.
+        No Hive partitionBy — measured ~10x the cost of the write itself
+        for many small partitions; bucketing is recorded in the manifest
+        instead."""
+        from tinyetl_spark.lake.merge import _slotkey_column
+        nb = self.snapshot().num_buckets
+        if buckets is not None:
+            assign = {b: i % slots for i, b in enumerate(sorted(buckets))}
+        else:
+            assign = {b: b % slots for b in range(nb)}
+        (df_with_extras
+            .withColumn("_slotkey", _slotkey_column(nb, slots, assign))
+            .repartition(slots, "_slotkey")
+            .drop("_slotkey")
+            .write.mode("append").parquet(out_dir))
 
     def readback_entries(self, out_dir: str,
                          schema_version: int | None = None
@@ -357,13 +371,14 @@ class LakeTable:
               .groupBy(F.input_file_name().alias("file"),
                        F.col("_bucket").alias("bucket"))
               .agg(F.count("*").alias("rows")))
-        per_file: dict[str, list[int]] = {}
+        per_file: dict[str, dict[int, int]] = {}
         agg_rows = rb.collect()
         for r in agg_rows:
             path = r["file"]
             path = path[7:] if path.startswith("file://") else path
-            per_file.setdefault(path, []).append(int(r["bucket"]))
-        entries = [{"path": p, "buckets": sorted(bs), "schema_version": sv}
+            per_file.setdefault(path, {})[int(r["bucket"])] = int(r["rows"])
+        entries = [{"path": p, "buckets": sorted(bs),
+                    "rows": sum(bs.values()), "schema_version": sv}
                    for p, bs in per_file.items()]
         return entries, rb
 
@@ -375,7 +390,7 @@ class LakeTable:
         snap = self.snapshot()
         out_dir = self.new_data_dir(snap_version)
         slots = buckets_hint or min(
-            4 * snap.num_buckets,
+            snap.num_buckets,
             max(2 * self.spark.sparkContext.defaultParallelism, 8))
         self.write_files(df.withColumn("_bucket", self.bucket_expr()),
                          out_dir, slots)
@@ -432,3 +447,49 @@ class LakeTable:
         entries = self.write_data(df, base_v + 1)
         return self.commit(files=entries, summary={"operation": "compact"},
                            expected_base=base_v)
+
+    def compact_deltas(self) -> Snapshot:
+        """Absorb merge-on-read delta debt by rewriting ONLY the
+        delta-touched buckets (Iceberg ``rewrite_data_files`` with a
+        filter): read + write cost is O(delta-touched data), never
+        O(table) — at 100 TB the routine maintenance pass a uniform CDC
+        stream needs, where ``compact()``'s full rewrite is a rare
+        binpack. Clean base files carry over untouched; the rewritten
+        buckets come back one-file-per-bucket (exact routing), LWW
+        resolved, tombstones preserved; epoch-fence properties carry
+        through the commit so replay protection survives maintenance."""
+        snap = self.snapshot()
+        delta_files = [f for f in snap.files if f.get("delta")]
+        if not delta_files:
+            return snap
+        rewrite: set[int] = set()
+        for f in delta_files:
+            rewrite |= set(f["buckets"])
+        while True:  # closure over base files co-locating other buckets
+            grown = set(rewrite)
+            for f in snap.files:
+                bs = set(f["buckets"])
+                if bs & grown:
+                    grown |= bs
+            if grown == rewrite:
+                break
+            rewrite = grown
+        carried = [f for f in snap.files
+                   if not (set(f["buckets"]) & rewrite)]
+        df = self.read(buckets=rewrite, include_tombstones=True)
+        out_dir = self.new_data_dir(snap.version + 1)
+        self.write_files(df.withColumn("_bucket", self.bucket_expr()),
+                         out_dir, max(len(rewrite), 1), buckets=rewrite)
+        entries, _ = self.readback_entries(out_dir)
+        total = (sum(int(f.get("rows") or 0) for f in carried)
+                 + sum(int(e.get("rows") or 0) for e in entries))
+        # carry the steady-state signals (active_buckets, total_rows) so
+        # an out-of-band maintenance pass doesn't knock the next merge's
+        # auto strategy back to the sparse probe path
+        return self.commit(
+            files=carried + entries,
+            summary={"operation": "compact_deltas",
+                     "rewritten_buckets": len(rewrite),
+                     "active_buckets": snap.summary.get("active_buckets", 0),
+                     "total_rows": total},
+            expected_base=snap.version)
