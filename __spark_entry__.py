@@ -472,6 +472,38 @@ def stream_sessionized_counts(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_enriched_segments(spark, sf_dir):
+    """Stream-STATIC join: the event stream enriched against the static
+    customer dimension inside the micro-batch engine (Spark broadcasts
+    the dim into every micro-batch — the standard CDC enrichment shape),
+    then a streaming aggregate in complete mode drained availableNow.
+    Oracle: the equivalent batch join+group."""
+    import uuid as _uuid
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = (_t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    work = tempfile.mkdtemp(prefix="tinyetl_ssj_")
+    try:
+        ev.repartition(4).write.parquet(f"{work}/in")
+        name = "ssj_" + _uuid.uuid4().hex[:8]
+        q = (spark.readStream.schema("user_id long, value double")
+             .option("maxFilesPerTrigger", "2").parquet(f"{work}/in")
+             .join(dim, "user_id")                      # stream-static
+             .groupBy("segment")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("total_value"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(name).orderBy("segment")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def ann_embedding_dups(spark, sf_dir):
     """Embedding near-dup pairs via BANDED 16-bit sign-LSH + exact cosine
     — full SQL oracle (hyperplanes derived from md5 hex, reproducible in
@@ -656,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionized_counts": stream_sessionized_counts,
         "q_set_ops": q_set_ops,
         "q_window_ranks": q_window_ranks,
+        "stream_enriched_segments": stream_enriched_segments,
     }
 
 
@@ -1056,6 +1089,14 @@ def oracle_sql() -> dict[str, str]:
             select user_id, min(ts) as session_start, count(*) as n_events
             from numbered group by user_id, sno
             order by user_id, session_start
+        """,
+        "stream_enriched_segments": """
+            select c_mktsegment as segment,
+                   count(*) as n_events,
+                   round(sum(value), 4) as total_value
+            from events e join customer c on e.user_id = c.c_custkey
+            group by c_mktsegment
+            order by segment
         """,
         "q_set_ops": """
             with cust as (

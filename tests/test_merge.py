@@ -347,3 +347,53 @@ def test_schema_evolution_then_mor_delta(spark, tmpdir_path):
               df.select("source").distinct().collect()}
     assert None in by_src and "crawl-2" in by_src
     assert_state_equal(t, ev)
+
+
+def test_merge_property_random_splits_and_replays(spark, tmpdir_path):
+    """Property check (hypothesis): for RANDOM batch boundaries, random
+    strategy choices, and random replays of already-committed batches,
+    the table always converges to the brute-force LWW oracle and
+    total_rows bookkeeping stays exact. One Spark round-trip per example,
+    so the example budget is small but each covers a full pipeline."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ev = datagen.change_events(spark, 400, 60, seed=77,
+                               hot_fraction=0.2).cache()
+    ev.count()
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        n_batches = data.draw(st.integers(2, 4), label="n_batches")
+        cuts = sorted(data.draw(
+            st.lists(st.integers(1, 399), min_size=n_batches - 1,
+                     max_size=n_batches - 1, unique=True), label="cuts"))
+        bounds = [0, *cuts, 400]
+        modes = data.draw(st.lists(st.sampled_from(["auto", "cow", "mor"]),
+                                   min_size=n_batches, max_size=n_batches),
+                          label="modes")
+        replay_at = data.draw(st.integers(0, n_batches - 1), label="replay")
+        import uuid
+        path = f"{tmpdir_path}/t_{uuid.uuid4().hex[:8]}"
+        t = make_table(spark, path, buckets=8)
+        for i in range(n_batches):
+            b = ev.filter(f"event_seq >= {bounds[i]} and "
+                          f"event_seq < {bounds[i+1]}")
+            merge_apply(t, b, i, mode=modes[i])
+            if i == replay_at:   # replay the SAME batch id: must fence
+                s = merge_apply(t, b, i, mode=modes[i])
+                assert s.fenced
+        assert_state_equal(t, ev)
+        snap = t.snapshot()
+        # total_rows is the PHYSICAL live-file row count (MOR deltas
+        # count shadowed versions until compaction absorbs them)
+        physical = t.read(include_tombstones=True, resolve=False).count()
+        assert snap.summary["total_rows"] == physical
+        t.compact_deltas()
+        assert t.snapshot().summary["total_rows"] == t.read(
+            include_tombstones=True).count()   # exact again post-compact
+
+    run()
+    ev.unpersist()

@@ -468,6 +468,12 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
 
     if use_mor:
         carried = list(snap.files)
+        # total_rows is the PHYSICAL row count across live files: a delta
+        # row that shadows a base-row version still counts until
+        # compaction absorbs it (exact resolved counts would need a
+        # base-side probe — rejected to keep the one-job hot path). The
+        # auto heuristic and reporting only need this physical figure;
+        # COW and compact_deltas commits restore exactness.
         total_rows = table_rows + written_rows
     else:
         carried = [f for f in snap.files if not (set(f["buckets"]) & touched)]
