@@ -107,6 +107,35 @@ def cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed out ("binlog out", Iceberg/Delta CDF analogue):
+    run the engine's 4 micro-batches, then ``read_changes`` returns each
+    commit's applied change rows exactly — a batch event that LOST
+    last-writer-wins against the live table emits nothing. Oracle: a
+    change exists for url u at batch i iff the LWW winner over the
+    event-prefix through batch i falls inside batch i."""
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_cdf_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i)
+        out = (table.read_changes(0)
+               .select("url", "event_seq",
+                       F.col("_change_type").alias("change_type"),
+                       F.col("_batch_id").alias("batch_id"))
+               .orderBy("batch_id", "url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 CDC_ORACLE = r"""
 with changes as (
   select event_id as event_seq,
@@ -654,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge_final_state": cdc_merge_final_state,
         "cdc_lww_latest": cdc_lww_latest,
+        "cdc_change_feed": cdc_change_feed,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_suppliers": q5_local_suppliers,
@@ -1089,6 +1119,33 @@ def oracle_sql() -> dict[str, str]:
             select user_id, min(ts) as session_start, count(*) as n_events
             from numbered group by user_id, sno
             order by user_id, session_start
+        """,
+        "cdc_change_feed": """
+            with changes as (
+              select event_id as event_seq,
+                     'https://site.example/u/' || user_id as url,
+                     ts as warc_ts,
+                     case when event_type = 'error' then 'delete'
+                          else 'update' end as op
+              from events),
+            nn as (select max(event_seq) + 1 as n from changes),
+            batches as (
+              select i, ((select n from nn) + 3) // 4 as step
+              from range(4) t(i)),
+            winners as (
+              select b.i as bi, b.step, c.url, c.event_seq, c.op,
+                     row_number() over (
+                       partition by b.i, c.url
+                       order by c.warc_ts desc, c.event_seq desc) as rn
+              from batches b
+              join changes c on c.event_seq < (b.i + 1) * b.step)
+            select url, event_seq,
+                   case when op = 'delete' then 'delete'
+                        else 'upsert' end as change_type,
+                   cast(bi as bigint) as batch_id
+            from winners
+            where rn = 1 and event_seq >= bi * step
+            order by batch_id, url
         """,
         "stream_enriched_segments": """
             select c_mktsegment as segment,

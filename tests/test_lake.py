@@ -121,3 +121,50 @@ def test_conform_missing_extra_cast(spark):
     out = conform(df, SCHEMA)
     assert [f.name for f in out.schema.fields] == ["url", "n"]
     assert out.first()["n"] == 5
+
+
+def test_change_feed_replays_to_same_state(spark, tmpdir_path):
+    """CDF round-trip: the change rows read_changes() reports, replayed
+    as change events into a FRESH table, reproduce the source table's
+    final state exactly; per-commit change counts equal that commit's
+    upserts+deletes; maintenance commits emit no changes."""
+    import pyspark.sql.functions as F
+
+    from tests.test_merge import make_table
+    from tinyetl_spark import datagen
+    from tinyetl_spark.lake import merge_apply
+
+    t = make_table(spark, f"{tmpdir_path}/src", buckets=8)
+    ev = datagen.change_events(spark, 1500, 200, seed=13)
+    stats = []
+    for i, mode in enumerate(["auto", "mor", "auto"]):
+        stats.append(merge_apply(t, ev.filter(f"event_seq % 3 = {i}"), i,
+                                 mode=mode))
+    t.compact_deltas()          # maintenance: must not appear in the feed
+
+    ch = t.read_changes(0)
+    per_v = {r["_commit_version"]: r["count"]
+             for r in ch.groupBy("_commit_version").count().collect()}
+    for s in stats:
+        assert per_v.get(s.snapshot_version, 0) == s.upserts + s.deletes
+    assert set(per_v) == {s.snapshot_version for s in stats}
+
+    # a bounded window: only the last commit's changes
+    tail = t.read_changes(stats[-1].snapshot_version - 1,
+                          stats[-1].snapshot_version)
+    assert tail.count() == stats[-1].upserts + stats[-1].deletes
+
+    # replay: change rows ARE change events (op from _change_type)
+    t2 = make_table(spark, f"{tmpdir_path}/dst", buckets=4)
+    for i, s in enumerate(stats):
+        batch = (ch.filter(F.col("_commit_version") == s.snapshot_version)
+                   .withColumn("op",
+                               F.when(F.col("_change_type") == "delete",
+                                      F.lit("delete"))
+                                .otherwise(F.lit("update")))
+                   .select("url", "warc_ts", "event_seq", "op", "html",
+                           "lang"))
+        merge_apply(t2, batch, i, extract=False)
+    a = sorted((r["url"], r["event_seq"]) for r in t.read().collect())
+    b = sorted((r["url"], r["event_seq"]) for r in t2.read().collect())
+    assert a == b

@@ -41,7 +41,8 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 VERSION_FILE = "VERSION"
 
@@ -301,6 +302,65 @@ class LakeTable:
             df = read_files(files)
         if not include_tombstones and "_deleted" in names:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df
+
+    def read_changes(self, start_version: int,
+                     end_version: int | None = None) -> DataFrame:
+        """Change-data-feed read (Iceberg/Delta CDF analogue): the change
+        rows each MERGE commit in ``(start_version, end_version]`` applied,
+        tagged ``_change_type`` ('upsert' | 'delete'), ``_commit_version``
+        and ``_batch_id`` — so a downstream consumer tails the table
+        incrementally ("binlog out") instead of re-reading it.
+
+        Exact by construction: merge-written files persist the ``_src``
+        marker, so a commit's change rows are precisely its files' rows
+        with ``_src = 1`` (a batch event that LOST last-writer-wins
+        against the live table produced no change and is absent).
+        Maintenance commits (compact/overwrite) move bytes, not state,
+        and are skipped. Bounded by snapshot retention
+        (``expire_snapshots``) like any CDF."""
+        end = self.current_version() if end_version is None else end_version
+        cur = self.snapshot(end).schema
+        parts = []
+        prev_paths = {f["path"] for f in self.snapshot(start_version).files}
+        for v in range(start_version + 1, end + 1):
+            snap = self.snapshot(v)
+            new_paths = [f for f in snap.files
+                         if f["path"] not in prev_paths]
+            prev_paths = {f["path"] for f in snap.files}
+            if snap.summary.get("operation") != "merge" or not new_paths:
+                continue
+            groups: dict[int, list[str]] = {}
+            for f in new_paths:
+                groups.setdefault(f["schema_version"], []).append(f["path"])
+            for sv, paths in sorted(groups.items()):
+                sv_schema = StructType(
+                    snap.schema_at(sv).fields
+                    + [StructField("_src", IntegerType(), True),
+                       StructField("_bucket", LongType(), True)])
+                part = (self.spark.read.schema(sv_schema).parquet(*paths)
+                        .filter(F.col("_src") == 1))
+                parts.append(
+                    conform(part, cur)
+                    .withColumn("_change_type",
+                                F.when(F.coalesce(F.col("_deleted"),
+                                                  F.lit(False)),
+                                       F.lit("delete"))
+                                 .otherwise(F.lit("upsert")))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn("_batch_id",
+                                F.lit(int(snap.summary.get("batch_id", -1)))
+                                 .cast("long")))
+        if not parts:
+            empty = StructType(
+                cur.fields
+                + [StructField("_change_type", StringType(), False),
+                   StructField("_commit_version", LongType(), False),
+                   StructField("_batch_id", LongType(), False)])
+            return self.spark.createDataFrame([], empty)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # ------------------------------------------------------------ evolution
