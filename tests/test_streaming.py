@@ -164,3 +164,55 @@ def test_stateful_url_stats_converges_to_batch(spark, tmpdir_path):
     w = sorted((r["url"], r["n_events"], r["n_deletes"], r["last_warc_us"])
                for r in want.collect())
     assert g == w
+
+
+def test_streaming_cdf_source_tails_and_resumes(spark, tmpdir_path):
+    """The table is a streaming SOURCE (Python Data Source API): a first
+    availableNow run delivers exactly read_changes(0); after MORE merges,
+    resuming from the same checkpoint delivers ONLY the new commits'
+    changes (offset = snapshot version)."""
+    import uuid
+
+    from tests.test_merge import make_table
+    from tinyetl_spark import datagen
+    from tinyetl_spark.lake import merge_apply
+    from tinyetl_spark.streaming.cdf_source import register_cdf_source
+
+    register_cdf_source(spark)
+    path = f"{tmpdir_path}/src"
+    t = make_table(spark, path, buckets=4)
+    ev = datagen.change_events(spark, 900, 120, seed=31)
+    s0 = merge_apply(t, ev.filter("event_seq < 300"), 0)
+    s1 = merge_apply(t, ev.filter("event_seq >= 300 and event_seq < 600"), 1,
+                     mode="mor")
+    t.compact_deltas()                     # must emit nothing
+
+    ck = f"{tmpdir_path}/ck"
+    out = f"{tmpdir_path}/out"
+
+    def drain():
+        q = (spark.readStream.format("tinyetl_cdf").option("path", path)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ck)
+             .queryName("cdf_" + uuid.uuid4().hex[:8])
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got = drain()
+    assert got.count() == (s0.upserts + s0.deletes + s1.upserts + s1.deletes)
+    expect = t.read_changes(0, s1.snapshot_version) \
+              .select("url", "event_seq", "_change_type")
+    assert got.select("url", "event_seq", "_change_type") \
+              .exceptAll(expect).count() == 0
+    assert expect.exceptAll(
+        got.select("url", "event_seq", "_change_type")).count() == 0
+
+    # more commits -> resume from checkpoint delivers ONLY the delta
+    s2 = merge_apply(t, ev.filter("event_seq >= 600"), 2)
+    got2 = drain()   # parquet sink accumulates across runs
+    new_rows = got2.filter(f"_commit_version = {s2.snapshot_version}")
+    assert new_rows.count() == s2.upserts + s2.deletes
+    assert got2.count() == got.count() + new_rows.count()
