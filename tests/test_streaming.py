@@ -216,3 +216,46 @@ def test_streaming_cdf_source_tails_and_resumes(spark, tmpdir_path):
     new_rows = got2.filter(f"_commit_version = {s2.snapshot_version}")
     assert new_rows.count() == s2.upserts + s2.deletes
     assert got2.count() == got.count() + new_rows.count()
+
+
+def test_table_replication_via_cdf_stream(spark, tmpdir_path):
+    """Chained engines: src merges -> CDF stream -> dst merges. The
+    mirror matches the source byte-for-byte (including extracted text),
+    an incremental second replication ships only new commits, and a
+    replayed replication run fully fences out."""
+    from tests.test_merge import make_table
+    from tinyetl_spark.streaming.pipeline import replicate
+
+    src = f"{tmpdir_path}/src"
+    dst = f"{tmpdir_path}/dst"
+    ck = f"{tmpdir_path}/repl_ck"
+    t_src = make_table(spark, src, buckets=8)
+    t_dst = make_table(spark, dst, buckets=4)      # layout may differ
+    ev = datagen.change_events(spark, 900, 120, seed=8)
+    from tinyetl_spark.lake import merge_apply
+    merge_apply(t_src, ev.filter("event_seq < 300"), 0)
+    merge_apply(t_src, ev.filter("event_seq >= 300 and event_seq < 600"), 1,
+                mode="mor")
+
+    stats1 = replicate(spark, src, dst, ck)
+    assert sum(s.events_in for s in stats1) > 0
+
+    def full_state(path):
+        return sorted(
+            (r["url"], r["event_seq"], r["text"])
+            for r in LakeTable(spark, path).read()
+            .select("url", "event_seq", "text").collect())
+
+    assert full_state(src) == full_state(dst)
+
+    # incremental: one more source commit, replicate again from checkpoint
+    merge_apply(t_src, ev.filter("event_seq >= 600"), 2)
+    stats2 = replicate(spark, src, dst, ck)
+    applied = [s for s in stats2 if not s.fenced and s.events_in > 0]
+    assert applied                                  # only the new slice
+    assert full_state(src) == full_state(dst)
+
+    # replay with no new source commits: nothing applied, state stable
+    stats3 = replicate(spark, src, dst, ck)
+    assert all(s.events_in == 0 or s.fenced for s in stats3)
+    assert full_state(src) == full_state(dst)

@@ -35,6 +35,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -123,6 +124,48 @@ def run_to_completion(spark: SparkSession, log_dir: str, table_path: str,
                        trigger_available_now=True, **kw)
     run.await_termination()
     return run.stats
+
+
+def replicate(spark: SparkSession, src_table: str, dst_table: str,
+              checkpoint_dir: str, query_name: str = "tinyetl-replicate",
+              ) -> list[MergeStats]:
+    """Table replication by chaining engines: tail ``src_table``'s
+    change-data-feed (the ``tinyetl_cdf`` streaming source) and MERGE
+    each micro-batch into ``dst_table`` — an incremental mirror that
+    never re-reads source state (the reference's only equivalent is a
+    scheduled full re-copy). Checkpointed offsets (snapshot versions)
+    plus the destination's own epoch fence give exactly-once end to end;
+    the change rows carry (warc_ts, event_seq), so replay reconverges by
+    LWW idempotency like any other event stream. Change rows already
+    hold extracted text — the merge runs with extract=False and the
+    mirror is byte-identical."""
+    from tinyetl_spark.streaming.cdf_source import register_cdf_source
+    register_cdf_source(spark)
+    dst = LakeTable(spark, dst_table)
+    if not dst.exists():
+        raise ValueError(f"target table does not exist: {dst_table}")
+    stream_id = _stream_incarnation(checkpoint_dir)
+    run_stats: list[MergeStats] = []
+
+    feed = (spark.readStream.format("tinyetl_cdf")
+            .option("path", src_table).load())
+
+    def apply_batch(batch_df, batch_id: int):
+        events = (batch_df.withColumn(
+                      "op", F.when(F.col("_change_type") == "delete",
+                                   F.lit("delete")).otherwise(F.lit("update")))
+                  .drop("_change_type", "_commit_version", "_batch_id",
+                        "_deleted"))
+        t = LakeTable(spark, dst_table)
+        run_stats.append(merge_apply(t, events, batch_id,
+                                     stream_id=stream_id, extract=False))
+
+    q = (feed.writeStream.queryName(query_name)
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return run_stats
 
 
 def progress_summary(run: PipelineRun) -> dict[str, Any]:
