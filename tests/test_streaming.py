@@ -259,3 +259,26 @@ def test_table_replication_via_cdf_stream(spark, tmpdir_path):
     stats3 = replicate(spark, src, dst, ck)
     assert all(s.events_in == 0 or s.fenced for s in stats3)
     assert full_state(src) == full_state(dst)
+
+    # source schema evolution propagates to the mirror: add a column,
+    # merge a batch carrying it, replicate — the mirror must evolve
+    # instead of conform-dropping the new column silently
+    from pyspark.sql.types import LongType, StructField, StructType
+    t_src = LakeTable(spark, src)
+    t_src.evolve_schema(StructType(
+        t_src.snapshot().schema.fields
+        + [StructField("quality", LongType(), True)]))
+    extra = (datagen.change_events(spark, 100, 30, seed=99)
+             .withColumn("event_seq", F.col("event_seq") + 10_000)
+             .withColumn("quality", F.col("event_seq") % 10))
+    merge_apply(t_src, extra, 3)
+    replicate(spark, src, dst, ck)
+    dst_t = LakeTable(spark, dst)
+    assert "quality" in {f.name for f in dst_t.snapshot().schema.fields}
+    s_q = sorted((r["url"], r["event_seq"], r["quality"]) for r in
+                 LakeTable(spark, src).read()
+                 .select("url", "event_seq", "quality").collect())
+    d_q = sorted((r["url"], r["event_seq"], r["quality"]) for r in
+                 dst_t.read().select("url", "event_seq", "quality")
+                 .collect())
+    assert s_q == d_q

@@ -150,6 +150,8 @@ def replicate(spark: SparkSession, src_table: str, dst_table: str,
     feed = (spark.readStream.format("tinyetl_cdf")
             .option("path", src_table).load())
 
+    CDF_COLS = {"_change_type", "_commit_version", "_batch_id"}
+
     def apply_batch(batch_df, batch_id: int):
         events = (batch_df.withColumn(
                       "op", F.when(F.col("_change_type") == "delete",
@@ -157,6 +159,17 @@ def replicate(spark: SparkSession, src_table: str, dst_table: str,
                   .drop("_change_type", "_commit_version", "_batch_id",
                         "_deleted"))
         t = LakeTable(spark, dst_table)
+        # source schema evolution propagates: columns the feed carries
+        # that the mirror lacks would otherwise be conform-DROPPED
+        # silently — evolve the mirror first (add-only, same rule as the
+        # source's own evolution; the merge then conforms normally).
+        have = {f.name for f in t.snapshot().schema.fields}
+        extra = [f for f in events.schema.fields
+                 if f.name not in have and f.name != "op"
+                 and f.name not in CDF_COLS]
+        if extra:
+            from pyspark.sql.types import StructType as _ST
+            t.evolve_schema(_ST(t.snapshot().schema.fields + extra))
         run_stats.append(merge_apply(t, events, batch_id,
                                      stream_id=stream_id, extract=False))
 
