@@ -140,3 +140,34 @@ def test_compact_deltas_noop_and_fence_survival(spark, tmpdir_path):
     replay = merge_apply(t, ev.filter("event_seq >= 400"), 1,
                          stream_id="s1")
     assert replay.fenced                              # still fenced
+
+
+def test_cli_replicate_and_cdf_retention_guard(spark, tmpdir_path):
+    """`cli replicate` mirrors a table (auto-creating the target), and a
+    change-feed read whose start precedes the expired-snapshot window
+    fails with a clear retention error instead of a FileNotFoundError."""
+    import pytest
+
+    from tinyetl_spark.cli import main
+
+    src = f"{tmpdir_path}/src"
+    t = LakeTable.create(spark, src, PAGES_SCHEMA, key_col="url",
+                         num_buckets=4)
+    ev = datagen.change_events(spark, 600, 90, seed=44)
+    for i in range(3):
+        merge_apply(t, ev.filter(f"event_seq % 3 = {i}"), i)
+
+    dst = f"{tmpdir_path}/dst"
+    rc = main(["replicate", src, dst, "--checkpoint", f"{tmpdir_path}/ck"])
+    assert rc == 0
+    a = sorted((r["url"], r["event_seq"]) for r in t.read().collect())
+    b = sorted((r["url"], r["event_seq"])
+               for r in LakeTable(spark, dst).read().collect())
+    assert a == b
+
+    # expire history, then ask for the feed from before the window
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        t.read_changes(0)
+    # an in-window (no-op) read still works
+    assert t.read_changes(t.current_version()).count() == 0

@@ -149,6 +149,12 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--metrics", action="store_true",
                     help="print merge metrics + per-bucket lineage")
 
+    rp = sub.add_parser("replicate",
+                        help="mirror a lake table by tailing its change feed")
+    rp.add_argument("source")
+    rp.add_argument("target")
+    rp.add_argument("--checkpoint", required=True)
+
     runp = sub.add_parser("run", help="run a YAML job")
     runp.add_argument("config")
     runp.add_argument("--preview", type=int)
@@ -165,6 +171,25 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--dry-run", action="store_true")
 
     args = ap.parse_args(argv)
+    if args.cmd == "replicate":
+        from tinyetl_spark.lake import LakeTable
+        from tinyetl_spark.streaming.pipeline import replicate
+        spark = get_spark(app_name="tinyetl-replicate")
+        spark.sparkContext.setLogLevel("ERROR")
+        src = LakeTable(spark, args.source)
+        if not src.exists():
+            raise SystemExit(f"no lake table at {args.source}")
+        dst = LakeTable(spark, args.target)
+        if not dst.exists():
+            LakeTable.create(spark, args.target, src.snapshot().schema,
+                             key_col=src.snapshot().key_col,
+                             num_buckets=src.snapshot().num_buckets)
+        stats = replicate(spark, args.source, args.target, args.checkpoint)
+        applied = sum(s.events_in for s in stats if not s.fenced)
+        print(f"replicated {applied} change rows in {len(stats)} "
+              f"micro-batches -> {args.target}")
+        return 0
+
     if args.cmd == "maintain":
         from tinyetl_spark.lake import LakeTable
         spark = get_spark(app_name="tinyetl-maintain")

@@ -320,9 +320,19 @@ class LakeTable:
         and are skipped. Bounded by snapshot retention
         (``expire_snapshots``) like any CDF."""
         end = self.current_version() if end_version is None else end_version
+        if start_version < end and start_version < self.oldest_version():
+            raise ValueError(
+                f"change feed from v{start_version} is gone: snapshots "
+                f"before v{self.oldest_version()} were expired "
+                "(expire_snapshots bounds CDF retention) — re-seed the "
+                f"consumer from a full read, then tail from v{end}")
         cur = self.snapshot(end).schema
         parts = []
-        prev_paths = {f["path"] for f in self.snapshot(start_version).files}
+        if start_version >= end:
+            prev_paths: set[str] = set()
+        else:
+            prev_paths = {f["path"]
+                          for f in self.snapshot(start_version).files}
         for v in range(start_version + 1, end + 1):
             snap = self.snapshot(v)
             new_paths = [f for f in snap.files
