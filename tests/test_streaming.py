@@ -268,8 +268,13 @@ def test_table_replication_via_cdf_stream(spark, tmpdir_path):
     t_src.evolve_schema(StructType(
         t_src.snapshot().schema.fields
         + [StructField("quality", LongType(), True)]))
+    # shift timestamps a year forward so these events WIN last-writer-
+    # wins against the existing rows (otherwise zero changes flow and
+    # the evolution assertions below would pass vacuously)
     extra = (datagen.change_events(spark, 100, 30, seed=99)
              .withColumn("event_seq", F.col("event_seq") + 10_000)
+             .withColumn("warc_ts",
+                         F.col("warc_ts") + F.expr("interval 365 days"))
              .withColumn("quality", F.col("event_seq") % 10))
     merge_apply(t_src, extra, 3)
     replicate(spark, src, dst, ck)
@@ -282,3 +287,13 @@ def test_table_replication_via_cdf_stream(spark, tmpdir_path):
                  dst_t.read().select("url", "event_seq", "quality")
                  .collect())
     assert s_q == d_q
+
+    # a full-history CDF read mixes schema versions: pre-evolution
+    # commits conform with NULL quality, post-evolution rows carry it
+    ch_all = LakeTable(spark, src).read_changes(0)
+    assert "quality" in ch_all.columns
+    pre = ch_all.filter("_batch_id <= 2")
+    post = ch_all.filter("_batch_id = 3")
+    assert pre.count() > 0 and post.count() > 0
+    assert pre.filter("quality is not null").count() == 0
+    assert post.filter("quality is null").count() == 0
