@@ -672,6 +672,37 @@ def q_window_ranks(spark, sf_dir):
             .orderBy("nationkey", "custkey"))
 
 
+def q_string_agg_regions(spark, sf_dir):
+    """Ordered string aggregation: per region, the alphabetically sorted
+    nation names joined with commas — Spark's sort_array(collect_list())
+    + array_join equals SQL string_agg(... ORDER BY) deterministically
+    (collect_list alone is partition-order-dependent; the sort makes the
+    fold order part of the query, which is the only way a distributed
+    string-agg can be reproducible)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy(F.col("r_name").alias("region"))
+             .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                   .alias("nations"),
+                  F.count("*").alias("n_nations"))
+             .orderBy("region"))
+
+
+def q_daily_event_rollup(spark, sf_dir):
+    """Time-series rollup: date_trunc to day, per event_type — the
+    dashboard query every CDC pipeline feeds. Pure Catalyst; DATE cast
+    (not date_trunc, which yields a timestamp whose rendering differs
+    from DuckDB's) keeps the grouped key type identical to the oracle's."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("ts").cast("date").alias("day"),
+                       "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users"),
+                   F.round(F.sum("value"), 4).alias("total_value"))
+              .orderBy("day", "event_type"))
+
+
 # ----------------------------------------------------------- contract API
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -717,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_running_value": q_user_running_value,
         "stream_sessionized_counts": stream_sessionized_counts,
         "q_set_ops": q_set_ops,
+        "q_string_agg_regions": q_string_agg_regions,
+        "q_daily_event_rollup": q_daily_event_rollup,
         "q_window_ranks": q_window_ranks,
         "stream_enriched_segments": stream_enriched_segments,
     }
@@ -1154,6 +1187,24 @@ def oracle_sql() -> dict[str, str]:
             from events e join customer c on e.user_id = c.c_custkey
             group by c_mktsegment
             order by segment
+        """,
+        "q_string_agg_regions": """
+            select r_name as region,
+                   string_agg(n_name, ',' order by n_name) as nations,
+                   count(*) as n_nations
+            from nation join region on n_regionkey = r_regionkey
+            group by r_name
+            order by region
+        """,
+        "q_daily_event_rollup": """
+            select cast(ts as date) as day,
+                   event_type,
+                   count(*) as n_events,
+                   count(distinct user_id) as n_users,
+                   round(sum(value), 4) as total_value
+            from events
+            group by day, event_type
+            order by day, event_type
         """,
         "q_set_ops": """
             with cust as (
