@@ -109,9 +109,11 @@ def cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed out ("binlog out", Iceberg/Delta CDF analogue):
-    run the engine's 4 micro-batches, then ``read_changes`` returns each
-    commit's applied change rows exactly — a batch event that LOST
-    last-writer-wins against the live table emits nothing. Oracle: a
+    run the engine's 4 micro-batches (all copy-on-write at this scale),
+    then ``read_changes`` returns each commit's applied change rows
+    exactly — a batch event that LOST last-writer-wins against the live
+    table emits nothing (merge-on-read commits instead emit batch
+    winners binlog-style; see read_changes). Oracle: a
     change exists for url u at batch i iff the LWW winner over the
     event-prefix through batch i falls inside batch i."""
     changes = _events_as_changes(_t(spark, sf_dir, "events"))
@@ -649,8 +651,7 @@ def q_set_ops(spark, sf_dir):
               .filter(F.col("o_orderstatus") == "O")
               .select(F.col("o_custkey").alias("custkey")))
     both = cust.intersect(active).withColumn("tag", F.lit("both"))
-    only_c = cust.exceptAll(active.distinct()).distinct() \
-        .withColumn("tag", F.lit("cust_only"))
+    only_c = cust.subtract(active).withColumn("tag", F.lit("cust_only"))
     return both.unionByName(only_c).orderBy("tag", "custkey")
 
 

@@ -390,12 +390,20 @@ def write_baseline_md(result: dict, history: list[dict] | None = None) -> None:
                 f"{h.get('cpu_inflation_high_vs_low')} |")
         effs = [h["efficiency"] for h in history
                 if h.get("efficiency") is not None]
-        if effs:
+        urs = [round(h["utilization_median"]["high"]
+                     / h["utilization_median"]["low"], 3)
+               for h in history
+               if (h.get("utilization_median") or {}).get("low")]
+        infl = [h["cpu_inflation_high_vs_low"] for h in history
+                if h.get("cpu_inflation_high_vs_low") is not None]
+        if effs and urs and infl:
             lines.append(
                 f"\nSpread across {len(effs)} invocations: efficiency "
                 f"{min(effs)}–{max(effs)}; the utilization (engine) "
-                "factor stays ~0.93-0.95 throughout — the variance is "
-                "entirely in the host's core-second inflation.")
+                f"factor spans {min(urs)}–{max(urs)} while the host's "
+                f"core-second inflation on identical work spans "
+                f"{min(infl)}–{max(infl)} — the wider of the two is "
+                "where the variance lives.")
     lines.append(ANALYSIS)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))

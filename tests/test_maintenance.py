@@ -171,3 +171,14 @@ def test_cli_replicate_and_cdf_retention_guard(spark, tmpdir_path):
         t.read_changes(0)
     # an in-window (no-op) read still works
     assert t.read_changes(t.current_version()).count() == 0
+    # empty windows never open expired snapshots; absent ends are clear
+    assert t.read_changes(0, 0).count() == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read_changes(0, t.current_version() + 5)
+    # the STREAMING source surfaces the same retention error instead of
+    # a bare FileNotFoundError when its checkpointed offset was expired
+    from tinyetl_spark.streaming.cdf_source import CdfStreamReader
+    rdr = CdfStreamReader(None, {"path": src})
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        rdr.partitions({"version": 0},
+                       {"version": t.current_version()})

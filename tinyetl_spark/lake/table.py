@@ -47,6 +47,31 @@ from pyspark.sql.types import (IntegerType, LongType, StringType,
 VERSION_FILE = "VERSION"
 
 
+def walk_merge_commits(get_snapshot, start: int, end: int):
+    """Yield ``(version, batch_id, new_files)`` for each MERGE commit in
+    ``(start, end]`` — the files the commit added (path diff against the
+    previous snapshot), with maintenance commits (compact/overwrite —
+    they move bytes, not state) skipped. The ONE definition of the
+    commit-walk rules, shared by ``LakeTable.read_changes`` and the
+    spark-free streaming CDF source (``streaming/cdf_source.py``) so
+    batch and streaming feeds cannot diverge. ``get_snapshot(v)`` may
+    return a ``Snapshot`` or its raw metadata dict."""
+    def _files(s):
+        return s["files"] if isinstance(s, dict) else s.files
+
+    def _summary(s):
+        return s["summary"] if isinstance(s, dict) else s.summary
+
+    prev = {f["path"] for f in _files(get_snapshot(start))}
+    for v in range(start + 1, end + 1):
+        s = get_snapshot(v)
+        new = [f for f in _files(s) if f["path"] not in prev]
+        prev = {f["path"] for f in _files(s)}
+        if _summary(s).get("operation") != "merge" or not new:
+            continue
+        yield v, int(_summary(s).get("batch_id", -1)), new
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this writer's snapshot read and its
     commit — the Iceberg validated-swap failure. The caller must re-read
@@ -312,36 +337,44 @@ class LakeTable:
         and ``_batch_id`` — so a downstream consumer tails the table
         incrementally ("binlog out") instead of re-reading it.
 
-        Exact by construction: merge-written files persist the ``_src``
-        marker, so a commit's change rows are precisely its files' rows
-        with ``_src = 1`` (a batch event that LOST last-writer-wins
-        against the live table produced no change and is absent).
-        Maintenance commits (compact/overwrite) move bytes, not state,
-        and are skipped. Bounded by snapshot retention
-        (``expire_snapshots``) like any CDF."""
-        end = self.current_version() if end_version is None else end_version
-        if start_version < end and start_version < self.oldest_version():
+        Exact for copy-on-write commits by construction: merge-written
+        files persist the ``_src`` marker, so a commit's change rows are
+        precisely its files' rows with ``_src = 1`` — a batch event that
+        lost last-writer-wins against the live table produced no change
+        and is absent. Merge-on-read commits write the batch's winners
+        WITHOUT consulting the base (that is the point of MOR), so their
+        change rows may include events an existing base row supersedes —
+        like any real binlog, the feed must be consumed with
+        LWW-apply-if-newer on (warc_ts, event_seq) (``replicate`` does
+        exactly that, and tests prove convergence). Maintenance commits
+        (compact/overwrite) move bytes, not state, and are skipped.
+        Bounded by snapshot retention (``expire_snapshots``) like any
+        CDF."""
+        current = self.current_version()
+        end = current if end_version is None else end_version
+        if end > current:
+            raise ValueError(
+                f"end_version v{end} does not exist (current is "
+                f"v{current})")
+        oldest = self.oldest_version()
+        if start_version >= end:      # empty window — touch no snapshots
+            cur = self.snapshot(min(end, current)).schema \
+                if end >= oldest else self.snapshot().schema
+            return self._empty_changes(cur)
+        if start_version < oldest:
             raise ValueError(
                 f"change feed from v{start_version} is gone: snapshots "
-                f"before v{self.oldest_version()} were expired "
-                "(expire_snapshots bounds CDF retention) — re-seed the "
-                f"consumer from a full read, then tail from v{end}")
+                f"before v{oldest} were expired (expire_snapshots bounds "
+                "CDF retention) — re-seed the consumer from a full read, "
+                f"then tail from v{end}")
         cur = self.snapshot(end).schema
+        has_deleted = any(f.name == "_deleted" for f in cur.fields)
         parts = []
-        if start_version >= end:
-            prev_paths: set[str] = set()
-        else:
-            prev_paths = {f["path"]
-                          for f in self.snapshot(start_version).files}
-        for v in range(start_version + 1, end + 1):
+        for v, batch_id, new_files in walk_merge_commits(
+                lambda v: self.snapshot(v), start_version, end):
             snap = self.snapshot(v)
-            new_paths = [f for f in snap.files
-                         if f["path"] not in prev_paths]
-            prev_paths = {f["path"] for f in snap.files}
-            if snap.summary.get("operation") != "merge" or not new_paths:
-                continue
             groups: dict[int, list[str]] = {}
-            for f in new_paths:
+            for f in new_files:
                 groups.setdefault(f["schema_version"], []).append(f["path"])
             for sv, paths in sorted(groups.items()):
                 sv_schema = StructType(
@@ -350,28 +383,30 @@ class LakeTable:
                        StructField("_bucket", LongType(), True)])
                 part = (self.spark.read.schema(sv_schema).parquet(*paths)
                         .filter(F.col("_src") == 1))
+                change = (F.when(F.coalesce(F.col("_deleted"),
+                                            F.lit(False)), F.lit("delete"))
+                           .otherwise(F.lit("upsert"))
+                          if has_deleted else F.lit("upsert"))
                 parts.append(
                     conform(part, cur)
-                    .withColumn("_change_type",
-                                F.when(F.coalesce(F.col("_deleted"),
-                                                  F.lit(False)),
-                                       F.lit("delete"))
-                                 .otherwise(F.lit("upsert")))
+                    .withColumn("_change_type", change)
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                     .withColumn("_batch_id",
-                                F.lit(int(snap.summary.get("batch_id", -1)))
-                                 .cast("long")))
+                                F.lit(batch_id).cast("long")))
         if not parts:
-            empty = StructType(
-                cur.fields
-                + [StructField("_change_type", StringType(), False),
-                   StructField("_commit_version", LongType(), False),
-                   StructField("_batch_id", LongType(), False)])
-            return self.spark.createDataFrame([], empty)
+            return self._empty_changes(cur)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _empty_changes(self, cur: StructType) -> DataFrame:
+        empty = StructType(
+            cur.fields
+            + [StructField("_change_type", StringType(), False),
+               StructField("_commit_version", LongType(), False),
+               StructField("_batch_id", LongType(), False)])
+        return self.spark.createDataFrame([], empty)
 
     # ------------------------------------------------------------ evolution
     def evolve_schema(self, new_schema: StructType) -> Snapshot:

@@ -2,11 +2,13 @@
 change-data-feed via the PySpark 4 Python Data Source API.
 
 ``spark.readStream.format("tinyetl_cdf").option("path", table_path)``
-tails the table's merge commits: each micro-batch delivers exactly the
-change rows the commits in its offset range applied (same semantics as
-``LakeTable.read_changes`` — lost-LWW events and maintenance commits
-emit nothing), with ``_change_type`` / ``_commit_version`` /
-``_batch_id`` columns appended. Offsets are snapshot versions, so the
+tails the table's merge commits: each micro-batch delivers the change
+rows the commits in its offset range wrote (same semantics as
+``LakeTable.read_changes`` — exact for copy-on-write commits;
+merge-on-read commits emit the batch's winners like a real binlog, so
+consumers LWW-apply on (warc_ts, event_seq); maintenance commits emit
+nothing), with ``_change_type`` / ``_commit_version`` / ``_batch_id``
+columns appended. Offsets are snapshot versions, so the
 checkpoint makes the feed resumable and exactly-once like any file
 source.
 
@@ -70,55 +72,57 @@ class CdfStreamReader(DataSourceStreamReader):
         return {"version": v}
 
     def partitions(self, start: dict, end: dict) -> list[CdfPartition]:
-        parts: list[CdfPartition] = []
-        prev = {f["path"]
-                for f in _read_meta(self.path, start["version"])[0]["files"]}
-        for v in range(start["version"] + 1, end["version"] + 1):
-            snap, _ = _read_meta(self.path, v)
-            new = [f for f in snap["files"] if f["path"] not in prev]
-            prev = {f["path"] for f in snap["files"]}
-            if snap["summary"].get("operation") != "merge":
-                continue  # maintenance moves bytes, not state
-            bid = int(snap["summary"].get("batch_id", -1))
-            parts.extend(CdfPartition(f["path"], v, bid) for f in new)
-        return parts
+        from tinyetl_spark.lake.table import walk_merge_commits
+        try:
+            return [CdfPartition(f["path"], v, bid)
+                    for v, bid, files in walk_merge_commits(
+                        lambda v: _read_meta(self.path, v)[0],
+                        start["version"], end["version"])
+                    for f in files]
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"change feed offset v{start['version']} is gone: the "
+                "snapshot was expired (expire_snapshots bounds CDF "
+                "retention) — re-seed the consumer from a full read and "
+                "restart the stream with a fresh checkpoint") from e
 
     def read(self, partition: CdfPartition):
         # executor-side: read ONE change file with pyarrow, keep the
-        # _src=1 rows (the rows this commit actually applied), emit in
-        # the declared output column order; columns a file's (older)
-        # schema version lacks come out as None.
+        # _src=1 rows (the rows this commit wrote), emit as arrow
+        # RecordBatches in the declared output column order — columns a
+        # file's (older) schema version lacks come out as nulls, and no
+        # row ever passes through per-row Python (the Data Source API
+        # accepts yielded pyarrow.RecordBatch objects directly).
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         tbl = pq.read_table(partition.file_path)
         if "_src" in tbl.column_names:
             tbl = tbl.filter(pc.equal(tbl["_src"], 1))
-        data_cols = [f.name for f in self.out_schema.fields
-                     if f.name not in ("_change_type", "_commit_version",
-                                       "_batch_id")]
-        import pandas as pd
-        pdf = tbl.to_pandas()
-        if "_deleted" in pdf.columns:
-            deleted = pdf["_deleted"].fillna(False).astype(bool)
+        n = tbl.num_rows
+        if "_deleted" in tbl.column_names:
+            deleted = pc.fill_null(tbl["_deleted"], False)
+            change = pc.if_else(deleted, pa.scalar("delete"),
+                                pa.scalar("upsert"))
         else:
-            deleted = pd.Series([False] * len(pdf))
-
-        def native(v):
-            if v is None or (not isinstance(v, (bytes, bytearray))
-                             and pd.isna(v)):
-                return None
-            if isinstance(v, pd.Timestamp):
-                return v.to_pydatetime()   # tz-naive Timestamp rejected
-            if hasattr(v, "item") and not isinstance(v, (bytes, bytearray)):
-                return v.item()       # numpy scalar -> python native
-            return v
-
-        for i in range(len(pdf)):
-            row = pdf.iloc[i]
-            vals = [native(row[c]) if c in pdf.columns else None
-                    for c in data_cols]
-            change = "delete" if bool(deleted.iloc[i]) else "upsert"
-            yield (*vals, change, partition.version, partition.batch_id)
+            change = pa.array(["upsert"] * n)
+        cols, names = [], []
+        from pyspark.sql.pandas.types import to_arrow_type
+        for f in self.out_schema.fields:
+            names.append(f.name)
+            at = to_arrow_type(f.dataType)
+            if f.name == "_change_type":
+                cols.append(change.cast(at))
+            elif f.name == "_commit_version":
+                cols.append(pa.array([partition.version] * n, type=at))
+            elif f.name == "_batch_id":
+                cols.append(pa.array([partition.batch_id] * n, type=at))
+            elif f.name in tbl.column_names:
+                cols.append(tbl[f.name].cast(at))
+            else:   # older schema version lacks the column
+                cols.append(pa.nulls(n, type=at))
+        out = pa.table(cols, names=names)
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass
