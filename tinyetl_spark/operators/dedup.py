@@ -246,3 +246,76 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                    & (F.col("a.doc") < F.col("b.doc")))
              .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
              .distinct())
+
+
+def _gram_array(col: Column, ngram: int) -> Column:
+    """Distinct word n-grams of normalized text; whole text if too short."""
+    w = F.split(norm_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - ngram, F.lit(0)))
+    return F.when(F.size(w) >= ngram,
+                  F.array_distinct(hof.transform(
+                      idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int"))
+                                                        for j in range(ngram)])))
+                  ).otherwise(F.array(norm_text(col)))
+
+
+def simhash_votes_md5(col: Column, ngram: int = 2) -> Column:
+    """64-wide SimHash vote counters whose per-gram bits come from the
+    md5 hex digest (bit b = bit (b%4) of hex char (b//4)) instead of
+    xxhash64 — same LSH semantics, but md5 exists in DuckDB so the
+    driver's SQL oracle can reproduce every vote verbatim (the fix the
+    round-3 verdict asked for; same trick as ``similarity.rp_signature``).
+    Vote order over grams is a commutative sum, so Spark's
+    order-preserving array_distinct vs DuckDB's list_distinct is safe."""
+    hexes = hof.transform(_gram_array(col, ngram), lambda g: F.md5(g))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def _bit(h: Column, b: Column) -> Column:
+        # hex char index = b // 4 (1-based substr), bit-in-char = b % 4
+        ch = h.substr(F.shiftright(b, 2) + 1, F.lit(1))
+        val = F.conv(ch, 16, 10).cast("int")
+        return F.call_function("shiftright", val,
+                               b.bitwiseAND(F.lit(3)).cast("int")).bitwiseAND(F.lit(1))
+
+    return hof.aggregate(
+        hexes, F.array_repeat(F.lit(0), 64),
+        lambda acc, h: hof.zip_with(
+            acc, bit_idx,
+            lambda c, b: c + F.when(_bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1))))
+
+
+def simhash_candidates_md5(df: DataFrame, id_col: str, text_col: str = "text",
+                           band_bits: int = 16, ngram: int = 2) -> DataFrame:
+    """Banded SimHash near-dup candidates over the md5-derived signature.
+
+    Band keys are built straight from the vote array (sum of 1<<j where
+    vote > 0) rather than via a packed 64-bit long, so there is no
+    signed-shift asymmetry between engines; DuckDB reproduces the keys
+    with the identical sum. Same bucketed self-join scale shape as
+    ``simhash_candidates`` — candidates only form inside a 16-bit band
+    bucket, never an O(n^2) cross join."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() < target:   # same under-partitioned-scan
+        df = df.repartition(target)          # hazard as _shingle_df
+    s = df.select(F.col(id_col).alias("doc"),
+                  simhash_votes_md5(F.col(text_col), ngram).alias("v"))
+    bands = 64 // band_bits
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(band_bits)])
+
+    def _key(b: int) -> Column:
+        sl = F.slice(F.col("v"), b * band_bits + 1, band_bits)
+        return hof.aggregate(
+            hof.zip_with(sl, powers,
+                         lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+
+    band_arr = F.array(*[F.struct(F.lit(b).alias("band"), _key(b).alias("key"))
+                         for b in range(bands)])
+    e = s.select("doc", F.explode(band_arr).alias("bb")).select(
+        "doc", "bb.band", "bb.key")
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+             .distinct())
