@@ -392,6 +392,31 @@ def simhash_near_dups(spark, sf_dir):
              .orderBy("doc_a", "doc_b"))
 
 
+def multimodal_features(spark, sf_dir):
+    """Multimodal decode through a REAL codec (r4): a P6 PPM payload is
+    synthesized per document — pixel bytes are the md5 bytes of its
+    normalized text, so the construction is deterministic in both
+    engines — then parsed by operators.media_codecs.decode_ppm inside
+    the Arrow-batched image_stats operator. The oracle recomputes the
+    per-channel means arithmetically from the same md5 hex chars,
+    verifying the binary round-trip (header + 48 pixel bytes) exactly."""
+    from tinyetl_spark.operators import multimodal as MM
+    _ensure_pkg_on_workers(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nt = T.norm_text(F.col("text"))
+    hexes = F.concat(F.md5(nt), F.md5(F.concat(nt, F.lit("1"))),
+                     F.md5(F.concat(nt, F.lit("2"))))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P6\n4 4\n255\n"), F.unhex(hexes)).alias("payload"))
+    st = MM.image_stats(media)
+    return (st.select("media_id", "width", "height", "maxval",
+                      F.round("mean_r", 6).alias("mean_r"),
+                      F.round("mean_g", 6).alias("mean_g"),
+                      F.round("mean_b", 6).alias("mean_b"))
+              .orderBy("media_id"))
+
+
 
 
 def q_string_funcs(spark, sf_dir):
@@ -765,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_daily_event_rollup": q_daily_event_rollup,
         "q_window_ranks": q_window_ranks,
         "stream_enriched_segments": stream_enriched_segments,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -1297,5 +1323,26 @@ def oracle_sql() -> dict[str, str]:
                            and a.doc_id < b.doc_id
             )
             select doc_a, doc_b from pairs order by doc_a, doc_b
+        """,
+        "multimodal_features": r"""
+            with n as (select doc_id,
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+                       from documents),
+            hx as (select doc_id,
+                          md5(nt) || md5(nt || '1') || md5(nt || '2') as h
+                   from n),
+            -- the 48 pixel bytes of the synthesized 4x4 P6 payload
+            b as (select doc_id,
+                         list_transform(range(0, 48), i ->
+                             (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) as px
+                  from hx)
+            select doc_id as media_id,
+                   4::bigint as width, 4::bigint as height, 255::bigint as maxval,
+                   round(list_sum(list_transform(range(0, 16), j -> px[3*j + 1])) / 16.0, 6) as mean_r,
+                   round(list_sum(list_transform(range(0, 16), j -> px[3*j + 2])) / 16.0, 6) as mean_g,
+                   round(list_sum(list_transform(range(0, 16), j -> px[3*j + 3])) / 16.0, 6) as mean_b
+            from b
+            order by media_id
         """,
     }

@@ -380,3 +380,87 @@ def test_range_join_vs_brute_force(spark):
             if lk == rk and lts - timedelta(seconds=120) <= rts <= lts + timedelta(seconds=30):
                 want.add((lid, tag))
     assert got == want and len(want) > 50
+
+
+# ------------------------------------------------------- real media codecs
+
+def test_ppm_codec_roundtrip_and_stats():
+    import numpy as np
+    from tinyetl_spark.operators import media_codecs as MC
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    b = MC.encode_ppm(px)
+    w, h, maxval, got = MC.decode_ppm(b)
+    assert (w, h, maxval) == (4, 4, 255)
+    assert (got == px).all()
+    # header with comments + arbitrary whitespace (spec-conformant)
+    b2 = b"P6 # comment\n# another\n 4\t4 # dims\n255\n" + px.tobytes()
+    assert (MC.decode_ppm(b2)[3] == px).all()
+    s = MC.ppm_stats(b)
+    assert s["mean_r"] == float(px[:, :, 0].mean())
+    assert s["mean_b"] == float(px[:, :, 2].mean())
+
+
+def test_ppm_resize_nearest_neighbor():
+    import numpy as np
+    from tinyetl_spark.operators import media_codecs as MC
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            px[y, x] = (y * 4 + x, 0, 255 - (y * 4 + x))
+    out = MC.resize_ppm(MC.encode_ppm(px), 2, 2)
+    w, h, _, rp = MC.decode_ppm(out)
+    assert (w, h) == (2, 2)
+    # nearest-neighbor with center sampling picks src index 1 and 3
+    assert rp[0, 0, 0] == px[1, 1, 0] and rp[1, 1, 0] == px[3, 3, 0]
+    up = MC.decode_ppm(MC.resize_ppm(MC.encode_ppm(px), 8, 8))[3]
+    assert (up[0:2, 0:2, 0] == px[0, 0, 0]).all()   # upscale replicates
+
+
+def test_wav_codec_roundtrip_and_stats():
+    import numpy as np
+    from tinyetl_spark.operators import media_codecs as MC
+    x = (np.sin(np.arange(800) / 10.0) * 1000).astype(np.int16)
+    b = MC.encode_wav(np.stack([x, -x], axis=1), rate=8000)
+    ch, rate, bits, samples = MC.decode_wav(b)
+    assert (ch, rate, bits) == (2, 8000, 16)
+    assert samples.shape == (800, 2)
+    assert (samples[:, 0] == x).all()
+    s = MC.wav_stats(b)
+    assert s["n_frames"] == 800 and s["peak"] == int(np.abs(x).max())
+    assert abs(s["rms"] - np.sqrt((x.astype(np.float64) ** 2).mean())) < 1e-9
+    # stdlib wave agrees on the header fields
+    import io
+    import wave
+    wf = wave.open(io.BytesIO(b))
+    assert (wf.getnchannels(), wf.getframerate(), wf.getnframes()) == (2, 8000, 800)
+
+
+def test_builtin_decoders_drive_spark_plumbing(spark):
+    """The REAL codecs run through the same mapInPandas plumbing the
+    stubs exercised: features decode, resize produces true pixels."""
+    import numpy as np
+    from tinyetl_spark.operators import media_codecs as MC
+    px = np.full((4, 4, 3), 7, dtype=np.uint8)
+    ppm = MC.encode_ppm(px)
+    wav = MC.encode_wav((np.arange(100) % 50).astype(np.int16))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "audio", bytearray(wav))],
+        "media_id long, kind string, payload binary")
+    MM.register_builtin_decoders()
+    try:
+        feats = {r["media_id"]: r["feature"]
+                 for r in MM.extract_features(MM.attach_metadata(df)).collect()}
+        assert feats[1] == "ppm:4x4:mean=7.00/7.00/7.00"
+        assert feats[2].startswith("wav:1ch:16000hz:100f:rms=")
+        rz = MM.resize_images(df, 2, 2).collect()
+        assert len(rz) == 1
+        w, h, _, rp = MC.decode_ppm(bytes(rz[0]["payload"]))
+        assert (w, h) == (2, 2) and (rp == 7).all()
+        st = {r["media_id"]: r for r in MM.image_stats(
+            df.filter("kind = 'image'")).collect()}
+        assert st[1]["mean_g"] == 7.0 and st[1]["width"] == 4
+        au = MM.audio_stats(df.filter("kind = 'audio'")).collect()[0]
+        assert au["n_frames"] == 100 and au["channels"] == 1
+    finally:
+        for k in ("image", "audio", "image/resize"):
+            MM.DecoderRegistry._decoders.pop(k, None)
