@@ -54,34 +54,13 @@ def read_duckdb(spark: SparkSession, db_path: str, table: str,
         con.close()
     schema = StructType([StructField(d[0], _spark_type(d[1]), True)
                          for d in desc])
-    if lo is None:
-        return spark.createDataFrame([], schema)
-    n = num_partitions or min(spark.sparkContext.defaultParallelism, 16)
-    n = max(1, min(n, int(hi) - int(lo) + 1))
-    step = (int(hi) - int(lo) + n) // n
-    ranges = [(int(lo) + i * step, min(int(lo) + (i + 1) * step - 1, int(hi)))
-              for i in range(n)]
-    rdf = spark.createDataFrame([(a, b) for a, b in ranges if a <= b],
-                                "lo long, hi long").repartition(n)
-    cols = [f.name for f in schema.fields]
-    sel = ", ".join(f'"{c}"' for c in cols)
-
-    def scan(batches):
-        import duckdb as dk
-        import pandas as pd  # noqa: F401
-        for pdf in batches:
-            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                c = dk.connect(db_path, read_only=True)
-                try:
-                    out = c.execute(
-                        f'SELECT {sel} FROM "{table}" '
-                        f'WHERE rowid BETWEEN ? AND ?',
-                        [int(lo_), int(hi_)]).fetch_df()
-                finally:
-                    c.close()
-                yield out
-
-    return rdf.mapInPandas(scan, schema=schema)
+    from tinyetl_spark.sources.dbapi import ModuleConnect, read_dbapi
+    return read_dbapi(
+        spark, ModuleConnect("duckdb", db_path, read_only=True),
+        table=table, dialect="duckdb", schema=schema,
+        num_partitions=num_partitions, partition_column="rowid",
+        lower_bound=int(lo) if lo is not None else None,
+        upper_bound=int(hi) if hi is not None else None)
 
 
 _DUCK_DECL = {"long": "BIGINT", "integer": "INTEGER", "double": "DOUBLE",
@@ -92,32 +71,13 @@ _DUCK_DECL = {"long": "BIGINT", "integer": "INTEGER", "double": "DOUBLE",
 
 def write_duckdb(df: DataFrame, db_path: str, table: str,
                  truncate: bool = False, batch_size: int = 2000) -> int:
-    import duckdb
-    cols = df.schema.fields
-    decls = ", ".join(
-        f'"{f.name}" {_DUCK_DECL.get(f.dataType.typeName(), "VARCHAR")}'
-        for f in cols)
-    names = ", ".join(f'"{f.name}"' for f in cols)
-    ph = ", ".join("?" for _ in cols)
-    con = duckdb.connect(db_path)
-    written = 0
-    try:
-        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({decls})')
-        if truncate:
-            con.execute(f'DELETE FROM "{table}"')
-        buf = []
-        for row in df.toLocalIterator():
-            buf.append(tuple(bytes(v) if isinstance(v, bytearray) else v
-                             for v in row))
-            if len(buf) >= batch_size:
-                con.executemany(
-                    f'INSERT INTO "{table}" ({names}) VALUES ({ph})', buf)
-                written += len(buf)
-                buf = []
-        if buf:
-            con.executemany(
-                f'INSERT INTO "{table}" ({names}) VALUES ({ph})', buf)
-            written += len(buf)
-    finally:
-        con.close()
-    return written
+    """Single-writer batched insert via the shared DBAPI sink
+    (sources/dbapi.py) with duckdb type declarations."""
+    import dataclasses
+
+    from tinyetl_spark.sources.dbapi import (DIALECTS, ModuleConnect,
+                                             write_dbapi)
+    d = dataclasses.replace(DIALECTS["duckdb"], type_decls=dict(_DUCK_DECL))
+    return write_dbapi(df, ModuleConnect("duckdb", db_path),
+                       table, dialect=d, truncate=truncate,
+                       batch_size=batch_size)

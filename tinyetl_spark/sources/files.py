@@ -153,10 +153,17 @@ def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
             spark, path, table,
             num_partitions=int(options["num_partitions"]) if "num_partitions" in options else None)
     if fmt == "jdbc":
-        # partitioned parallel read when the caller provides the standard
-        # partitionColumn/lowerBound/upperBound/numPartitions options — the
-        # Spark analogue of the reference's keyset pagination
-        # (odbc.rs:233-256); driver jars must be deployed on the cluster.
+        # native DBAPI partitioned scan (sources/dbapi.py — the shared
+        # machinery behind the sqlite/duckdb connectors) when a
+        # psycopg2/pymysql/pyodbc driver module is deployed ...
+        from tinyetl_spark.sources.dbapi import try_read_url
+        native = try_read_url(spark, uri, options)
+        if native is not None:
+            return native
+        # ... else the spark JDBC path: partitioned parallel read via the
+        # standard partitionColumn/lowerBound/upperBound/numPartitions
+        # options — the Spark analogue of the reference's keyset
+        # pagination (odbc.rs:233-256); driver jars live on the cluster.
         return spark.read.format("jdbc").option("url", uri).options(**options).load()
     if fmt == "eventlog":
         from tinyetl_spark.sources.eventlog import read_event_log
@@ -227,7 +234,9 @@ def write_sink(df: DataFrame, uri: str, fmt: str | None = None,
             raise ValueError("duckdb sink needs a table: 'db.duckdb#tbl'")
         write_duckdb(df, path, table, truncate=truncate)
     elif fmt == "jdbc":
-        (df.write.format("jdbc").option("url", uri)
-           .options(**options).mode("overwrite" if truncate else mode).save())
+        from tinyetl_spark.sources.dbapi import try_write_url
+        if try_write_url(df, uri, options, truncate=truncate) is None:
+            (df.write.format("jdbc").option("url", uri)
+               .options(**options).mode("overwrite" if truncate else mode).save())
     else:
         raise ValueError(f"unsupported sink format: {fmt}")

@@ -59,102 +59,41 @@ def _table_schema(db_path: str, table: str) -> StructType:
                        for c in cols])
 
 
+def _ro_connect(db_path: str):
+    """Picklable read-only connection factory for executor-side scans."""
+    from tinyetl_spark.sources.dbapi import ModuleConnect
+    return ModuleConnect("sqlite3", f"file:{db_path}?mode=ro", uri=True)
+
+
 def read_sqlite(spark: SparkSession, db_path: str, table: str,
                 num_partitions: int | None = None,
                 partition_column: str | None = None,
                 lower_bound: int | None = None,
                 upper_bound: int | None = None) -> DataFrame:
-    """Partitioned parallel scan of one table (see module docstring)."""
-    import sqlite3
+    """Partitioned parallel scan of one table (see module docstring).
+    Since r4 the scan machinery is the shared DBAPI connector
+    (sources/dbapi.py); this wrapper keeps the PRAGMA affinity schema
+    and the implicit rowid partition key."""
+    from tinyetl_spark.sources.dbapi import read_dbapi
     if not os.path.exists(db_path):
         raise FileNotFoundError(db_path)
     schema = _table_schema(db_path, table)
-    key = partition_column or "rowid"
-    with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-        lo, hi = conn.execute(
-            f'SELECT min("{key}"), max("{key}") FROM "{table}"').fetchone()
-    if lo is None:                                   # empty table
-        return spark.createDataFrame([], schema)
-    lo = lower_bound if lower_bound is not None else int(lo)
-    hi = upper_bound if upper_bound is not None else int(hi)
-    n = num_partitions or min(spark.sparkContext.defaultParallelism, 16)
-    n = max(1, min(n, hi - lo + 1))
-    step = (hi - lo + n) // n
-    ranges = [(lo + i * step, min(lo + (i + 1) * step - 1, hi))
-              for i in range(n)]
-    ranges = [(a, b) for a, b in ranges if a <= b]
-    rdf = spark.createDataFrame(ranges, "lo long, hi long").repartition(len(ranges))
-    col_names = [f.name for f in schema.fields]
-    sel = ", ".join(f'"{c}"' for c in col_names)
-
-    def scan(batches):
-        import pandas as pd
-        import sqlite3 as sq
-        for pdf in batches:
-            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                with sq.connect(f"file:{db_path}?mode=ro", uri=True) as c:
-                    cur = c.execute(
-                        f'SELECT {sel} FROM "{table}" '
-                        f'WHERE "{key}" BETWEEN ? AND ?', (int(lo_), int(hi_)))
-                    rows = cur.fetchall()
-                yield pd.DataFrame(
-                    {name: [r[i] for r in rows]
-                     for i, name in enumerate(col_names)}
-                    if rows else {name: [] for name in col_names})
-
-    return rdf.mapInPandas(scan, schema=schema)
-
-
-_SQLITE_DECL = {"long": "INTEGER", "integer": "INTEGER", "short": "INTEGER",
-                "boolean": "INTEGER", "double": "REAL", "float": "REAL",
-                "string": "TEXT", "binary": "BLOB",
-                "date": "TEXT", "timestamp": "TEXT", "timestamp_ntz": "TEXT"}
+    return read_dbapi(spark, _ro_connect(db_path), table=table,
+                      dialect="sqlite", schema=schema,
+                      num_partitions=num_partitions,
+                      partition_column=partition_column or "rowid",
+                      lower_bound=lower_bound, upper_bound=upper_bound)
 
 
 def write_sqlite(df: DataFrame, db_path: str, table: str,
                  truncate: bool = False, batch_size: int = 2000) -> int:
     """Single-writer batched insert (append-first lifecycle; truncate →
-    DELETE FROM, mirroring the reference's transfer contract)."""
-    import datetime
-    import sqlite3
-    cols = df.schema.fields
-    decls = ", ".join(
-        f'"{f.name}" {_SQLITE_DECL.get(f.dataType.typeName(), "TEXT")}'
-        for f in cols)
-    placeholders = ", ".join("?" for _ in cols)
-    names = ", ".join(f'"{f.name}"' for f in cols)
-
-    def py(v):
-        if isinstance(v, bool):
-            return int(v)
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        if isinstance(v, bytearray):
-            return bytes(v)
-        return v
-
-    written = 0
-    conn = sqlite3.connect(db_path)
-    try:
-        conn.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({decls})')
-        if truncate:
-            conn.execute(f'DELETE FROM "{table}"')
-        buf = []
-        for row in df.toLocalIterator():
-            buf.append(tuple(py(v) for v in row))
-            if len(buf) >= batch_size:
-                conn.executemany(
-                    f'INSERT INTO "{table}" ({names}) VALUES ({placeholders})', buf)
-                written += len(buf)
-                buf = []
-        if buf:
-            conn.executemany(
-                f'INSERT INTO "{table}" ({names}) VALUES ({placeholders})', buf)
-            written += len(buf)
-        conn.commit()
-    finally:
-        conn.close()
-    return written
+    DELETE FROM, mirroring the reference's transfer contract). Shared
+    machinery: sources/dbapi.py serial sink, sqlite dialect."""
+    from tinyetl_spark.sources.dbapi import ModuleConnect, write_dbapi
+    return write_dbapi(df, ModuleConnect("sqlite3", db_path),
+                       table, dialect="sqlite", truncate=truncate,
+                       batch_size=batch_size)
 
 
 def split_sqlite_uri(uri: str) -> tuple[str, str | None]:
@@ -195,44 +134,8 @@ def read_sqlite_query(spark: SparkSession, db_path: str, query: str,
     ``partition_column`` the scan parallelizes exactly like spark JDBC
     (``SELECT * FROM (q) WHERE col BETWEEN lo AND hi`` per range);
     without one it is a single-stream driver fetch — same limitation as
-    the reference's serial cursor."""
-    import sqlite3
-    with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-        cur = conn.execute(f"SELECT * FROM ({query}) LIMIT 100")
-        cols = [d[0] for d in cur.description]
-        sample = cur.fetchall()
-    schema = _infer_schema_from_rows(cols, sample)
-    if not partition_column:
-        with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-            rows = conn.execute(query).fetchall()
-        return spark.createDataFrame(rows, schema)
-    with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-        lo, hi = conn.execute(
-            f'SELECT min("{partition_column}"), max("{partition_column}") '
-            f'FROM ({query})').fetchone()
-    if lo is None:
-        return spark.createDataFrame([], schema)
-    n = num_partitions or min(spark.sparkContext.defaultParallelism, 16)
-    n = max(1, min(n, int(hi) - int(lo) + 1))
-    step = (int(hi) - int(lo) + n) // n
-    ranges = [(int(lo) + i * step, min(int(lo) + (i + 1) * step - 1, int(hi)))
-              for i in range(n)]
-    rdf = spark.createDataFrame([r for r in ranges if r[0] <= r[1]],
-                                "lo long, hi long").repartition(n)
-
-    def scan(batches):
-        import pandas as pd
-        import sqlite3 as sq
-        for pdf in batches:
-            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                with sq.connect(f"file:{db_path}?mode=ro", uri=True) as c:
-                    rows = c.execute(
-                        f'SELECT * FROM ({query}) '
-                        f'WHERE "{partition_column}" BETWEEN ? AND ?',
-                        (int(lo_), int(hi_))).fetchall()
-                yield pd.DataFrame(
-                    {name: [r[i] for r in rows]
-                     for i, name in enumerate(cols)}
-                    if rows else {name: [] for name in cols})
-
-    return rdf.mapInPandas(scan, schema=schema)
+    the reference's serial cursor. Shared machinery: sources/dbapi.py."""
+    from tinyetl_spark.sources.dbapi import read_dbapi
+    return read_dbapi(spark, _ro_connect(db_path), query=query,
+                      dialect="sqlite", num_partitions=num_partitions,
+                      partition_column=partition_column)
