@@ -182,3 +182,67 @@ def test_cli_replicate_and_cdf_retention_guard(spark, tmpdir_path):
     with pytest.raises(ValueError, match="expire_snapshots"):
         rdr.partitions({"version": 0},
                        {"version": t.current_version()})
+
+
+def test_pipeline_auto_compaction_and_expiry_cadence(spark, tmpdir_path):
+    """Forced-MOR streaming with auto_compact_debt=1: every batch's delta
+    debt is absorbed inline, final counts stay exact, and the snapshot
+    expiry cadence bounds metadata growth."""
+    from tests.test_merge import brute_force_state
+    from tinyetl_spark.sources.eventlog import append_events
+    from tinyetl_spark.streaming.pipeline import run_to_completion
+
+    log, table, ck = (f"{tmpdir_path}/log", f"{tmpdir_path}/t",
+                      f"{tmpdir_path}/ck")
+    t = LakeTable.create(spark, table, PAGES_SCHEMA, key_col="url",
+                         num_buckets=4)
+    ev = datagen.change_events(spark, 1200, 150, seed=31)
+    merge_apply(t, ev.filter("event_seq < 400"), 10**6, stream_id="seed")
+
+    for lo, hi in [(400, 600), (600, 800), (800, 1200)]:
+        append_events(ev.filter(f"event_seq >= {lo} and event_seq < {hi}"),
+                      log)
+    stats = run_to_completion(spark, log, table, ck, merge_mode="mor",
+                              max_files_per_trigger=1, auto_compact_debt=1,
+                              expire_every=2, expire_keep_last=3)
+    assert len(stats) >= 3
+    assert any(s.strategy == "mor" for s in stats)
+
+    t2 = LakeTable(spark, table)
+    # compaction fired: no outstanding delta debt after the drain
+    assert not any(f.get("delta") for f in t2.snapshot().files)
+    # state is exact despite inline maintenance
+    oracle = brute_force_state(ev)
+    got = t2.read().select("url", "event_seq")
+    assert got.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(got).count() == 0
+    # the expiry cadence removed early snapshots (v0 is gone) and the
+    # metadata dir holds fewer versions than were ever committed
+    metas = [f for f in os.listdir(os.path.join(table, "metadata"))
+             if f.startswith("v") and f.endswith(".json")]
+    assert not os.path.exists(os.path.join(table, "metadata", "v0.json"))
+    assert len(metas) < t2.current_version() + 1
+
+
+def test_cdf_stream_fails_loudly_on_mid_stream_evolution(spark, tmpdir_path):
+    """The CDF stream pins its output schema at start; a schema_version
+    bump mid-stream must error with restart guidance, not silently drop
+    the new column (Delta CDF behavior)."""
+    import pytest
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from tinyetl_spark.streaming.cdf_source import CdfStreamReader
+
+    table = f"{tmpdir_path}/t"
+    t = LakeTable.create(spark, table, PAGES_SCHEMA, key_col="url",
+                         num_buckets=2)
+    ev = datagen.change_events(spark, 200, 40, seed=7)
+    merge_apply(t, ev, 0)
+
+    reader = CdfStreamReader(PAGES_SCHEMA, {"path": table})
+    assert reader.latestOffset()["version"] >= 1
+
+    t.evolve_schema(StructType(t.snapshot().schema.fields
+                               + [StructField("quality", DoubleType(), True)]))
+    with pytest.raises(RuntimeError, match="restart the stream"):
+        reader.latestOffset()

@@ -297,3 +297,78 @@ def test_table_replication_via_cdf_stream(spark, tmpdir_path):
     assert pre.count() > 0 and post.count() > 0
     assert pre.filter("quality is not null").count() == 0
     assert post.filter("quality is null").count() == 0
+
+
+def test_replication_propagates_type_widen(spark, tmpdir_path):
+    """Source widens a column (long -> double) between replications; the
+    mirror must widen too instead of conform-narrowing the feed (silent
+    value corruption), and values must match end to end."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType,
+                                   TimestampType)
+
+    from tinyetl_spark.lake import merge_apply
+    from tinyetl_spark.streaming.pipeline import replicate
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("event_seq", LongType(), False),
+        StructField("_deleted", BooleanType(), False),
+        StructField("size", LongType(), True),
+    ])
+    src, dst, ck = (f"{tmpdir_path}/wsrc", f"{tmpdir_path}/wdst",
+                    f"{tmpdir_path}/wck")
+    t_src = LakeTable.create(spark, src, schema, key_col="url", num_buckets=2)
+    LakeTable.create(spark, dst, schema, key_col="url", num_buckets=2)
+
+    mk = "event_seq long, url string, warc_ts timestamp, op string, size long"
+    df1 = spark.createDataFrame(
+        [(1, "u1", datetime(2025, 1, 1, 0, 0, 1), "update", 10),
+         (2, "u2", datetime(2025, 1, 1, 0, 0, 2), "update", 20)], mk)
+    merge_apply(t_src, df1, 0, extract=False)
+    replicate(spark, src, dst, ck)
+    assert dict(LakeTable(spark, dst).read().dtypes)["size"] == "bigint"
+
+    widened = StructType([f if f.name != "size" else
+                          StructField("size", DoubleType(), True)
+                          for f in schema.fields])
+    t_src.evolve_schema(widened)
+    df2 = spark.createDataFrame(
+        [(3, "u3", datetime(2025, 1, 1, 0, 0, 3), "update", 30.5),
+         (4, "u1", datetime(2026, 1, 1, 0, 0, 4), "update", 11.5)],
+        "event_seq long, url string, warc_ts timestamp, op string, size double")
+    merge_apply(t_src, df2, 1, extract=False)
+    replicate(spark, src, dst, ck)
+
+    d = LakeTable(spark, dst)
+    assert dict(d.read().dtypes)["size"] == "double"
+    got = {r["url"]: (r["event_seq"], r["size"]) for r in d.read().collect()}
+    assert got == {"u1": (4, 11.5), "u2": (2, 20.0), "u3": (3, 30.5)}
+
+
+def test_stateful_run_output_pruning(spark, tmpdir_path):
+    """Old runs' update-output dirs are pruned at run start (keep the
+    most recent prior run for the caller's still-lazy DataFrame)."""
+    import os
+
+    from tinyetl_spark.streaming.stateful import run_url_stats_to_completion
+    log, _, ckpt, ev = setup(spark, tmpdir_path, n_events=300, n_urls=40)
+    root = os.path.join(ckpt, "url_stats_updates")
+
+    append_events(ev.filter("event_seq < 100"), log)
+    run_url_stats_to_completion(spark, log, ckpt, query_name="pr1")
+    assert len(os.listdir(root)) == 1
+    first_run_dir = os.listdir(root)[0]
+
+    append_events(ev.filter("event_seq >= 100 and event_seq < 200"), log)
+    got2 = run_url_stats_to_completion(spark, log, ckpt, query_name="pr2")
+    assert len(os.listdir(root)) == 2          # run1 kept for lazy readers
+
+    append_events(ev.filter("event_seq >= 200"), log)
+    run_url_stats_to_completion(spark, log, ckpt, query_name="pr3")
+    dirs = os.listdir(root)
+    assert len(dirs) == 2 and first_run_dir not in dirs
+    got2.count()                               # run2's frame still readable

@@ -428,7 +428,13 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             agg = per_bucket.setdefault(bkt, [0, 0, 0])
             for i in range(3):
                 agg[i] += s[i]
-    observed = obs.get.get("events_in")
+    # slot_stats empty <=> the write job ran ZERO tasks (a zero-partition
+    # micro-batch: availableNow + maxFilesPerTrigger can deliver a log
+    # segment holding no rows). With no task, the Observation never
+    # receives its metrics row and obs.get dies inside toPyRow — so only
+    # consult it when at least one task reported in. (COW batches always
+    # have tasks — they scan the base table — this is the MOR-empty case.)
+    observed = obs.get.get("events_in") if slot_stats else 0
     if events_in is None:
         events_in = int(observed or 0)
     if use_mor and events_in == 0:

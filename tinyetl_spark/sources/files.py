@@ -62,7 +62,7 @@ def detect_format(uri: str, explicit: str | None = None) -> str:
                      f"known extensions: {sorted(_FILE_FORMATS)}")
 
 
-_AVRO_JVM_PROBE: dict[int, bool] = {}
+_AVRO_JVM_PROBE: dict[str, bool] = {}
 
 
 def _avro_jvm_available(spark: SparkSession) -> bool:
@@ -71,8 +71,10 @@ def _avro_jvm_available(spark: SparkSession) -> bool:
     bare Class.forName is too weak: avro *classes* ship in the Spark
     distro without the data source being registered). An undeployed module
     routes to the pure-Python codec, while every OTHER avro error (bad
-    path, corrupt container, schema mismatch, bad options) propagates."""
-    key = id(spark.sparkContext._jsc)
+    path, corrupt container, schema mismatch, bad options) propagates.
+    Keyed by applicationId — unique per SparkContext, unlike id() of the
+    py4j handle, which a later context can reuse after GC."""
+    key = spark.sparkContext.applicationId
     if key not in _AVRO_JVM_PROBE:
         jvm = spark._jvm
         try:

@@ -63,12 +63,25 @@ class CdfStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.start = int(options.get("startversion", 0))
         self.out_schema = schema
+        # the output schema is pinned for the stream's lifetime; remember
+        # WHICH table schema version it came from so evolution mid-stream
+        # fails loudly instead of silently dropping new columns.
+        snap, _ = _read_meta(self.path)
+        self.pinned_schema_version = snap["schema_version"]
 
     def initialOffset(self) -> dict:
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
-        _, v = _read_meta(self.path)
+        snap, v = _read_meta(self.path)
+        if snap["schema_version"] != self.pinned_schema_version:
+            # Delta CDF behavior: a streaming source cannot widen its
+            # output schema mid-query — restart picks up the new one.
+            raise RuntimeError(
+                f"source table schema evolved mid-stream (schema v"
+                f"{self.pinned_schema_version} -> v{snap['schema_version']}"
+                "): restart the stream (same checkpoint) to pick up the "
+                "new columns")
         return {"version": v}
 
     def partitions(self, start: dict, end: dict) -> list[CdfPartition]:

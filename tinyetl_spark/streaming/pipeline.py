@@ -83,8 +83,26 @@ def run_pipeline(
     query_name: str = "tinyetl-cdc",
     transform_fn=None,
     merge_mode: str = "auto",
+    auto_compact_debt: int | None = 32,
+    expire_every: int | None = None,
+    expire_keep_last: int = 10,
 ) -> PipelineRun:
-    """Start the CDC stream into an existing LakeTable at ``table_path``."""
+    """Start the CDC stream into an existing LakeTable at ``table_path``.
+
+    Maintenance runs inline on a cadence so long streams stay healthy
+    without an operator:
+
+    - ``auto_compact_debt``: when the table's merge-on-read delta-file
+      count crosses this threshold after a batch, ``compact_deltas()``
+      fires (O(delta-touched buckets) rewrite) — read amplification stays
+      bounded instead of growing with every MOR batch. None disables.
+    - ``expire_every``/``expire_keep_last``: every N batches, expire
+      snapshots beyond the last K — bounds the one-snapshot-per-micro-
+      batch metadata growth over a long stream's lifetime (the CDF
+      retention window shrinks accordingly). None disables (default:
+      callers that time-travel or tail the CDF manage retention
+      themselves).
+    """
     table = LakeTable(spark, table_path)
     if not table.exists():
         raise ValueError(f"target table does not exist: {table_path}")
@@ -104,6 +122,13 @@ def run_pipeline(
                             extract=extract, transform_fn=transform_fn,
                             mode=merge_mode)
         run_stats.append(stats)
+        if auto_compact_debt is not None and not stats.fenced:
+            snap = t.snapshot()
+            debt = sum(1 for f in snap.files if f.get("delta"))
+            if debt >= auto_compact_debt:
+                t.compact_deltas()
+        if expire_every and (batch_id + 1) % expire_every == 0:
+            t.expire_snapshots(keep_last=expire_keep_last)
 
     writer = (events.writeStream
               .queryName(query_name)
@@ -161,15 +186,30 @@ def replicate(spark: SparkSession, src_table: str, dst_table: str,
         t = LakeTable(spark, dst_table)
         # source schema evolution propagates: columns the feed carries
         # that the mirror lacks would otherwise be conform-DROPPED
-        # silently — evolve the mirror first (add-only, same rule as the
-        # source's own evolution; the merge then conforms normally).
-        have = {f.name for f in t.snapshot().schema.fields}
-        extra = [f for f in events.schema.fields
-                 if f.name not in have and f.name != "op"
-                 and f.name not in CDF_COLS]
-        if extra:
+        # silently, and a feed column WIDER than the mirror's (int→long
+        # upstream) would be conform-NARROWED — overflow values silently
+        # wrap. Evolve the mirror first: add new columns, widen dtypes
+        # along _WIDEN_OK (same rules as the source's own evolution); the
+        # merge then conforms normally.
+        from tinyetl_spark.lake.table import _WIDEN_OK
+        mirror = {f.name: f for f in t.snapshot().schema.fields}
+        skip = CDF_COLS | {"op"}
+        extra, widened = [], False
+        for f in events.schema.fields:
+            if f.name in skip:
+                continue
+            cur = mirror.get(f.name)
+            if cur is None:
+                extra.append(f)
+            elif (cur.dataType != f.dataType
+                  and (cur.dataType.typeName(),
+                       f.dataType.typeName()) in _WIDEN_OK):
+                mirror[f.name] = cur.__class__(f.name, f.dataType,
+                                               cur.nullable, cur.metadata)
+                widened = True
+        if extra or widened:
             from pyspark.sql.types import StructType as _ST
-            t.evolve_schema(_ST(t.snapshot().schema.fields + extra))
+            t.evolve_schema(_ST(list(mirror.values()) + extra))
         run_stats.append(merge_apply(t, events, batch_id,
                                      stream_id=stream_id, extract=False))
 

@@ -84,12 +84,32 @@ def run_url_stats_to_completion(spark: SparkSession, log_dir: str,
     final row). Update mode only re-emits keys with new data: merge runs'
     outputs for a full view, or query the state store on a real cluster.
     Resuming from the same checkpoint restores the state store, so counts
-    continue across runs (tested)."""
+    continue across runs (tested). The returned DataFrame reads this
+    run's parquet output lazily and stays valid through ONE subsequent
+    run on the same checkpoint; older runs' output is pruned at run
+    start so a long-lived checkpoint does not accumulate dead files."""
     import os
+
+    import shutil
+    import time
+    import uuid as _uuid
 
     from tinyetl_spark.sources.eventlog import stream_event_log
     events = stream_event_log(spark, log_dir)
-    out_dir = os.path.join(checkpoint_dir, "url_stats_updates")
+    runs_root = os.path.join(checkpoint_dir, "url_stats_updates")
+    # Each run writes under its own run-<ts>-<id> dir. Old runs' output
+    # would otherwise accumulate forever on a long-lived checkpoint (only
+    # same-batch-id retries overwrite), so prune all but the MOST RECENT
+    # prior run now — that one stays because the caller may still hold
+    # its (lazy) returned DataFrame; anything older is out of contract.
+    # The checkpoint dir itself (offsets + state store) is untouched.
+    if os.path.isdir(runs_root):
+        prior = sorted(d for d in os.listdir(runs_root)
+                       if d.startswith("run-"))
+        for stale in prior[:-1]:
+            shutil.rmtree(os.path.join(runs_root, stale), ignore_errors=True)
+    out_dir = os.path.join(
+        runs_root, f"run-{time.time_ns():020d}-{_uuid.uuid4().hex[:6]}")
     run_paths: list[str] = []
 
     # foreachBatch, not the memory sink: memory-sink queries refuse to
