@@ -397,3 +397,69 @@ def test_merge_property_random_splits_and_replays(spark, tmpdir_path):
 
     run()
     ev.unpersist()
+
+
+def test_hot_bucket_skew_split(spark, tmpdir_path):
+    """One hot domain funnelled into one bucket (30%+ of events) must not
+    serialize that bucket's sort+window+extract on one core: the NEXT
+    merge, seeing the skew in the previous commit's lineage, splits the
+    hot bucket across several url-salted sort partitions. Asserts the
+    split fired (multiple files, all holding only the hot bucket), the
+    splits are balanced, and LWW state still equals the brute-force
+    oracle (url -> salt is functional, so winner locality is preserved)."""
+    from datetime import datetime, timedelta
+
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    # craft the skew: find which bucket each candidate url hashes into
+    cand = (spark.range(0, 400)
+            .select(F.concat(F.lit("https://hot.example.com/p/"),
+                             F.col("id")).alias("url"))
+            .withColumn("b", F.pmod(F.xxhash64("url"), F.lit(4))))
+    by_bucket: dict[int, list[str]] = {}
+    for r in cand.collect():
+        by_bucket.setdefault(int(r["b"]), []).append(r["url"])
+    hot_bucket, hot_urls = max(by_bucket.items(), key=lambda kv: len(kv[1]))
+    hot_urls = hot_urls[:90]
+    cold_urls = [u for b, us in by_bucket.items() if b != hot_bucket
+                 for u in us[:10]]
+    base = datetime(2025, 1, 1)
+    sch = ("event_seq long, url string, warc_ts timestamp, op string, "
+           "html binary, lang string")
+
+    def mk(seq0):
+        rows, s = [], seq0
+        for u in hot_urls:                     # 8 events per hot url
+            for _ in range(8):
+                rows.append((s, u, base + timedelta(seconds=s), "update",
+                             b"<p>hot page</p>", "en"))
+                s += 1
+        for u in cold_urls:                    # 1 event per cold url
+            rows.append((s, u, base + timedelta(seconds=s), "update",
+                         b"<p>cold page</p>", "en"))
+            s += 1
+        return spark.createDataFrame(rows, sch)
+
+    b0, b1 = mk(0), mk(1_000_000)
+    merge_apply(t, b0, 0)                      # records the skewed lineage
+    lin = {r["bucket"]: r["rows"] for r in t.snapshot().lineage}
+    assert lin[hot_bucket] >= 2 * (sum(lin.values()) / 4)
+
+    merge_apply(t, b1, 1)                      # split fires off lineage
+    snap = t.snapshot()
+    hot_files = [f for f in snap.files if hot_bucket in f["buckets"]]
+    # the hot bucket was split: several files, each holding ONLY it
+    assert len(hot_files) >= 2
+    assert all(f["buckets"] == [hot_bucket] for f in hot_files)
+    rows_per_split = [f["rows"] for f in hot_files]
+    assert max(rows_per_split) <= 3 * min(rows_per_split)
+    # cold buckets stay one file each (the bijection is undisturbed)
+    for b in by_bucket:
+        if b != hot_bucket:
+            assert len([f for f in snap.files if b in f["buckets"]]) == 1
+    assert_state_equal(t, b0.union(b1))
+
+    # a forced-MOR follow-up caps splits at the delta slot count and
+    # stays oracle-exact
+    b2 = mk(2_000_000)
+    merge_apply(t, b2, 2, mode="mor")
+    assert_state_equal(t, b0.union(b1).union(b2))

@@ -70,6 +70,7 @@ LWW over (warc_ts, event_seq) is idempotent.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import time
@@ -126,20 +127,31 @@ class _SlotStatsParam(AccumulatorParam):
         return a
 
 
-# (num_b, slots, assignment) -> the _slotkey Column. A steady-state
-# stream re-derives the SAME routing every dense batch; building the
-# long[] literal costs ~0.5 s of py4j transfer at num_buckets=4096, so
-# the Column (an unbound expression, safe to reuse across DataFrames) is
-# cached. Bounded: sparse batches with changing touched-sets evict oldest.
+# (num_b, slots, assignment, splits) -> the _slotkey Column. A
+# steady-state stream re-derives the SAME routing every dense batch;
+# building the long[] literal costs ~0.5 s of py4j transfer at
+# num_buckets=4096, so the Column (an unbound expression, safe to reuse
+# across DataFrames) is cached. Bounded: sparse batches with changing
+# touched-sets evict oldest.
 _SLOTKEY_CACHE: dict[tuple, Any] = {}
 
 
-def _slotkey_column(num_b: int, slots: int, bucket_slot: dict[int, int]):
+def _slotkey_column(num_b: int, slots: int, bucket_slot: dict[int, int],
+                    splits: dict[int, list[int]] | None = None,
+                    key_col: str | None = None):
     """Column routing each _bucket to its chosen shuffle partition:
     element_at over a long[] literal of inverse-murmur3 keys (ONE Literal
     node — a python-list literal becomes a num_b-child array() constructor
-    costing ~2.3 s of per-batch plan analysis at 4096 buckets)."""
-    ck = (num_b, slots, tuple(sorted(bucket_slot.items())))
+    costing ~2.3 s of per-batch plan analysis at 4096 buckets).
+
+    ``splits`` spreads a HOT bucket over several partitions: its rows are
+    salted by ``pmod(xxhash64(key), nsplit)`` onto the bucket's slot
+    list. The salt is a pure function of the KEY, so every key's rows
+    still land in exactly one sort partition — the LWW window needs no
+    cross-split resolution and the hot path stays one job."""
+    splits = splits or {}
+    ck = (num_b, slots, tuple(sorted(bucket_slot.items())),
+          tuple(sorted((b, tuple(sl)) for b, sl in splits.items())), key_col)
     col = _SLOTKEY_CACHE.get(ck)
     if col is None:
         import numpy as np
@@ -149,10 +161,44 @@ def _slotkey_column(num_b: int, slots: int, bucket_slot: dict[int, int]):
             key_arr[bkt] = slot_keys[s]
         col = (F.element_at(F.lit(key_arr), (F.col("_bucket") + 1).cast("int"))
                 .cast("long"))  # murmur3 hashLong, not hashInt
+        for bkt, slot_list in sorted(splits.items()):
+            sub_keys = np.array([slot_keys[s] for s in slot_list],
+                                dtype=np.int64)
+            sub = (F.pmod(F.xxhash64(F.col(key_col)),
+                          F.lit(len(slot_list))) + 1).cast("int")
+            col = F.when(F.col("_bucket") == F.lit(bkt),
+                         F.element_at(F.lit(sub_keys), sub).cast("long")
+                         ).otherwise(col)
         if len(_SLOTKEY_CACHE) >= 8:
             _SLOTKEY_CACHE.pop(next(iter(_SLOTKEY_CACHE)))
         _SLOTKEY_CACHE[ck] = col
     return col
+
+
+def _skew_splits(snap, touched: set[int], threshold: float,
+                 cap: int) -> dict[int, int]:
+    """bucket -> split count, from the PREVIOUS commit's lineage (zero
+    jobs — the skew signal is already on the driver). A bucket whose last
+    written-ROW share was >= ``threshold`` x the mean over this batch's
+    touched set gets ceil(share/mean) partitions, capped. Rows ~ url
+    cardinality, which is exactly the skew component a url-salt can
+    spread (a single hot URL's events must stay in one partition for LWW
+    locality regardless). One hot domain funnelled into one bucket
+    otherwise serializes that bucket's whole sort+window+extract on a
+    single core — the stage tail at 100x scale."""
+    ev = {int(r["bucket"]): int(r.get("rows") or 0) for r in snap.lineage}
+    total = sum(ev.values())
+    if not total or not touched:
+        return {}
+    mean = total / len(touched)
+    out = {}
+    for b in touched:
+        e = ev.get(b, 0)
+        if e >= threshold * mean:
+            n = min(math.ceil(e / mean), cap)
+            if n > 1:
+                out[b] = int(n)
+    return out
 
 
 def last_committed_batch(table: LakeTable, stream_id: str) -> int:
@@ -189,7 +235,9 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
                 extract: bool = True, transform_fn=None,
                 mode: str = "auto",
                 mor_table_batch_ratio: float = 4.0,
-                max_delta_files: int | None = None) -> MergeStats:
+                max_delta_files: int | None = None,
+                skew_split_threshold: float = 2.0,
+                skew_split_cap: int = 16) -> MergeStats:
     """Apply one micro-batch of change events to the table.
 
     ``batch`` columns: event_seq, url, warc_ts, op, html, lang (+ extras
@@ -206,6 +254,13 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     would dwarf the batch), AND the accumulated delta-file debt is below
     ``max_delta_files`` (default 4*num_buckets) — past that the next merge
     does copy-on-write, which absorbs all deltas of the touched buckets.
+
+    ``skew_split_threshold`` / ``skew_split_cap``: a bucket whose
+    written-row share in the PREVIOUS commit's lineage was >= threshold x
+    the mean is spread over up to ``cap`` sort partitions, salted by
+    ``pmod(xxhash64(key), nsplit)`` — key -> partition stays functional,
+    so LWW winner locality (and the one-job plan) is unchanged while a
+    hot domain's bucket no longer serializes on one core. 0 disables.
     """
     timing = os.environ.get("TINYETL_MERGE_TIMING") == "1"
     tmarks = [("start", time.time())]
@@ -313,30 +368,49 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     # MOR deltas size their slot count to the BATCH instead (one file per
     # ~250k winner rows, estimated from the previous batch): a small delta
     # must not fan out into num_buckets tiny files per micro-batch.
+    #
+    # Skew-aware splitting: a bucket the previous commit's lineage marks
+    # hot (>= skew_split_threshold x the mean row share) is spread over
+    # ceil(share/mean) partitions via a key-salted second routing key —
+    # url -> (bucket, salt) -> slot stays functional, so LWW locality is
+    # preserved and the plan shape (1 shuffle, 1 sort, 1 job) unchanged.
+    nsplit = _skew_splits(snap, touched, skew_split_threshold,
+                          skew_split_cap) if skew_split_threshold else {}
     if use_mor:
         slots = max(1, min(num_b, (max(prev_in, 1) + 249_999) // 250_000))
+        nsplit = {b: min(n, slots) for b, n in nsplit.items()
+                  if min(n, slots) > 1}
+        pairs = [(b, j) for b in sorted(touched)
+                 for j in range(nsplit.get(b, 1))]
     else:
-        slots = max(len(touched), 1)
-    # bucket -> shuffle partition is a CHOSEN even assignment, never
-    # balls-in-bins: repartition(slots, "_bucket") hashes B bucket ids
-    # into B partitions, leaving ~B/e partitions EMPTY and piling 2-3
+        pairs = [(b, j) for b in sorted(touched)
+                 for j in range(nsplit.get(b, 1))]
+        slots = max(len(pairs), 1)
+    # (bucket, split) -> shuffle partition is a CHOSEN even assignment,
+    # never balls-in-bins: repartition(slots, "_bucket") hashes B bucket
+    # ids into B partitions, leaving ~B/e partitions EMPTY and piling 2-3
     # buckets onto others (measured at B=32: 12 empty, max 3) — the 2-3x
     # straggler task then idles the whole stage tail at every micro-batch
     # (the single biggest scaling loss found by profiling: reduce-stage
     # max task 10.3s vs p50 3.6s at 8 cores). _slotkey carries an
     # inverse-murmur3 key that routes bucket b to partition
     # bucket_slot[b] EXACTLY: COW gets a bijection (one bucket = one
-    # partition = one file, so the touch-closure stays trivial), MOR
-    # round-robins its buckets over the batch-sized slot count
-    # (partition loads within one bucket of even).
-    bucket_slot = {b: i % slots for i, b in enumerate(sorted(touched))}
+    # partition = one file, so the touch-closure stays trivial; a SPLIT
+    # hot bucket writes nsplit files, each still holding only that
+    # bucket), MOR round-robins its buckets over the batch-sized slot
+    # count (partition loads within one bucket of even).
+    pair_slot = {p: i % slots for i, p in enumerate(pairs)}
+    bucket_slot = {b: pair_slot[(b, 0)] for b in touched}
+    splits = {b: [pair_slot[(b, j)] for j in range(n)]
+              for b, n in nsplit.items()}
     from pyspark.sql import Observation
     obs = Observation()
     # events_in rides the scan as an observed metric — no counting job.
     unioned = (unioned_src
                .withColumn("_bucket", table.bucket_expr())
                .withColumn("_slotkey", _slotkey_column(num_b, slots,
-                                                       bucket_slot))
+                                                       bucket_slot,
+                                                       splits, key))
                .observe(obs, F.sum("_src").cast("long").alias("events_in"))
                .repartition(slots, "_slotkey")
                .sortWithinPartitions(F.col("_slotkey").asc(),
@@ -464,7 +538,9 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             bs = sorted(bkt for bkt, s in st.items() if s[0] > 0)
             rows = sum(s[0] for s in st.values())
         else:  # accumulator lost (shouldn't happen) -> correct superset
-            bs = sorted(bkt for bkt in touched if bucket_slot[bkt] == k)
+            bs = sorted(bkt for bkt in touched
+                        if any(pair_slot[(bkt, j)] == k
+                               for j in range(nsplit.get(bkt, 1))))
             rows = 0
         entry = {"path": os.path.join(out_dir, fn), "buckets": bs,
                  "rows": rows, "schema_version": snap.schema_version}
