@@ -34,6 +34,14 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         elif k == "M":
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
+            import datetime as _dt
+            first = df[c].dropna()
+            if len(first) and isinstance(first.iloc[0], _dt.date) \
+                    and not isinstance(first.iloc[0], _dt.datetime):
+                # Spark DateType -> datetime.date objects; DuckDB DATE ->
+                # datetime64 — same values, different carriers
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                continue
             # decimal.Decimal from DuckDB etc.
             try:
                 df[c] = pd.to_numeric(df[c])
