@@ -156,3 +156,115 @@ def test_sqlite_custom_query_source(spark, tmpdir_path):
                                           "num_partitions": "4"})
     assert dfp.rdd.getNumPartitions() == 4
     assert dfp.count() == 100
+
+
+# ---------------------------------------------------------------- ssh/scp
+
+FAKE_SCP = r"""#!/bin/sh
+# fake scp for the no-network test suite: maps user@host:path to
+# $FAKE_SSH_ROOT/path and records its argv for command-shape assertions.
+echo "$@" >> "$FAKE_SSH_ROOT/scp.log"
+for last; do :; done
+DST="$last"
+for a in "$@"; do SRC="$PREV"; PREV="$a"; done
+case "$SRC" in
+  *@*:*) RP="${SRC#*:}"; cp "$FAKE_SSH_ROOT$RP" "$DST" || exit 1 ;;
+  *) RP="${DST#*:}"; mkdir -p "$(dirname "$FAKE_SSH_ROOT$RP")"; \
+     cp "$SRC" "$FAKE_SSH_ROOT$RP" || exit 1 ;;
+esac
+"""
+
+
+@pytest.fixture
+def fake_scp(tmpdir_path, monkeypatch):
+    root = f"{tmpdir_path}/sshroot"
+    os.makedirs(root, exist_ok=True)
+    bindir = f"{tmpdir_path}/bin"
+    os.makedirs(bindir, exist_ok=True)
+    scp = f"{bindir}/scp"
+    with open(scp, "w") as f:
+        f.write(FAKE_SCP)
+    os.chmod(scp, 0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    monkeypatch.setenv("FAKE_SSH_ROOT", root)
+    return root
+
+
+def test_ssh_url_parse_reference_error_parity():
+    from tinyetl_spark.sources.ssh import parse_ssh_url
+    assert parse_ssh_url("ssh://alice@h1:2222/d/f.csv") == \
+        ("alice", "h1", 2222, "/d/f.csv")
+    assert parse_ssh_url("scp://bob@h2/f.json")[2] == 22   # default port
+    with pytest.raises(ValueError, match="username"):
+        parse_ssh_url("ssh://h1/d/f.csv")
+    with pytest.raises(ValueError, match="file path"):
+        parse_ssh_url("ssh://alice@h1/")
+
+
+def test_ssh_fetch_and_read_source(spark, tmpdir_path, fake_scp):
+    os.makedirs(f"{fake_scp}/data", exist_ok=True)
+    with open(f"{fake_scp}/data/people.csv", "w") as f:
+        f.write("id,name\n1,ann\n2,bo\n")
+    df = read_source(spark, "ssh://alice@remote:2222/data/people.csv")
+    assert {(r["id"], r["name"]) for r in df.collect()} == \
+        {(1, "ann"), (2, "bo")}
+    # command shape: reference scp flags + port + user@host:path
+    log = open(f"{fake_scp}/scp.log").read()
+    assert "-P 2222" in log and "StrictHostKeyChecking=no" in log
+    assert "alice@remote:/data/people.csv" in log
+
+
+def test_ssh_write_sink_roundtrip(spark, tmpdir_path, fake_scp):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    write_sink(df, "ssh://alice@remote/out/export.json")
+    back = spark.read.json(f"{fake_scp}/out/export.json")
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_ssh_scp_failure_raises(tmpdir_path, fake_scp):
+    from tinyetl_spark.sources.ssh import scp_fetch
+    with pytest.raises(RuntimeError, match="SCP failed"):
+        scp_fetch("ssh://alice@remote/missing/nope.csv")
+
+
+# ------------------------------------------------------------- snowflake
+
+SF_URL = ("snowflake://u:pw@acct.eu-1/SALES/PUBLIC"
+          "?table=ORDERS&warehouse=WH1&role=R1")
+
+
+def test_snowflake_url_parse_reference_error_parity():
+    from tinyetl_spark.sources.snowflake import parse_snowflake_url
+    c = parse_snowflake_url(SF_URL)
+    assert (c.account, c.database, c.schema, c.table) == \
+        ("acct.eu-1", "SALES", "PUBLIC", "ORDERS")
+    assert c.warehouse == "WH1" and c.role == "R1"
+    # one distinct error per missing part, as in snowflake.rs:47-118
+    for bad, msg in [
+        ("snowflake://acct/db/sc?table=T", "username"),
+        ("snowflake://u@acct/db/sc?table=T", "password"),
+        ("snowflake://u:pw@acct/onlydb?table=T", "database and schema"),
+        ("snowflake://u:pw@acct/db/sc", "table parameter"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_snowflake_url(bad)
+
+
+def test_snowflake_stage_roundtrip_and_mock(spark, tmpdir_path):
+    from tinyetl_spark.sources.snowflake import load_sql, unload_sql
+    stage = f"{tmpdir_path}/stage"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    # write -> stage parquet + the COPY INTO the warehouse runs
+    from tinyetl_spark.sources.snowflake import (parse_snowflake_url,
+                                                 write_snowflake)
+    sql = write_snowflake(df, SF_URL, options={"stage_dir": stage})
+    assert "COPY INTO SALES.PUBLIC.ORDERS" in sql
+    # read scans the same stage path (distributed parquet)
+    back = read_source(spark, SF_URL, options={"stage_dir": stage})
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+    # no stage_dir -> the reference's deterministic 2-row mock sample
+    mock = read_source(spark, SF_URL)
+    assert mock.count() == 2 and "created_at" in mock.columns
+    c = parse_snowflake_url(SF_URL)
+    assert "FROM SALES.PUBLIC.ORDERS" in unload_sql(c)
+    assert load_sql(c).startswith("COPY INTO SALES.PUBLIC.ORDERS")

@@ -179,6 +179,13 @@ def register_dialect(d: Dialect) -> Dialect:
 
 register_dialect(Dialect("generic"))
 
+# pyodbc (any ODBC DSN) is a plain DBAPI driver: qmark placeholders,
+# ANSI quoting, and the keyset-page default — exactly the reference's
+# odbc.rs:143-330 surface. Registered under its own name so the long
+# tail of databases has an explicit escape hatch:
+# read_dbapi(spark, ModuleConnect("pyodbc", dsn), dialect="odbc", ...).
+register_dialect(Dialect("odbc"))
+
 register_dialect(Dialect(
     "sqlite",
     schema_sql=None,                    # PRAGMA handled by sqlite_py wrapper

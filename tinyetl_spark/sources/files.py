@@ -43,6 +43,10 @@ def detect_format(uri: str, explicit: str | None = None) -> str:
     parsed = urlparse(uri)
     if parsed.scheme in ("http", "https"):
         return "http"
+    if parsed.scheme in ("ssh", "scp", "sftp"):
+        return "ssh"
+    if parsed.scheme == "snowflake":
+        return "snowflake"
     if parsed.scheme in _JDBC_SCHEMES:   # scheme wins over extension:
         return "jdbc"                    # postgresql://h/x.db is jdbc
     ext_nofrag = os.path.splitext(uri.partition("#")[0])[1].lower()
@@ -125,6 +129,13 @@ def read_source(spark: SparkSession, uri: str, fmt: str | None = None,
         from tinyetl_spark.sources.http import read_http
         return read_http(spark, uri, options=options,
                          infer_schema=infer_schema, date_sniff=date_sniff)
+    if fmt == "ssh":
+        from tinyetl_spark.sources.ssh import read_ssh
+        return read_ssh(spark, uri, options=options,
+                        infer_schema=infer_schema, date_sniff=date_sniff)
+    if fmt == "snowflake":
+        from tinyetl_spark.sources.snowflake import read_snowflake
+        return read_snowflake(spark, uri, options=options)
     if fmt == "sqlite":
         from tinyetl_spark.sources.sqlite_py import (read_sqlite,
                                                      read_sqlite_query,
@@ -235,6 +246,12 @@ def write_sink(df: DataFrame, uri: str, fmt: str | None = None,
         if not table:
             raise ValueError("duckdb sink needs a table: 'db.duckdb#tbl'")
         write_duckdb(df, path, table, truncate=truncate)
+    elif fmt == "ssh":
+        from tinyetl_spark.sources.ssh import write_ssh
+        write_ssh(df, uri, options=options, truncate=truncate)
+    elif fmt == "snowflake":
+        from tinyetl_spark.sources.snowflake import write_snowflake
+        write_snowflake(df, uri, options=options, truncate=truncate)
     elif fmt == "jdbc":
         from tinyetl_spark.sources.dbapi import try_write_url
         if try_write_url(df, uri, options, truncate=truncate) is None:
