@@ -74,20 +74,37 @@ def _tree_cpu_seconds() -> float:
 
 
 def run_probe(cores: int) -> float:
-    """Fixed-work host-phase probe: ``cores`` processes each stream a
-    64 MB float64 array 40 times (memory-bandwidth-bound — the resource
-    this shared VM's degradation episodes contend on). Identical work
-    every call, so the wall time measures ONLY the host's current phase:
-    clean it is flat; during a degradation episode it inflates 1.5-4x.
-    Run taskset-pinned to the same core budget as the measured round it
-    gates."""
+    """Fixed-work host-phase probe: ``cores`` processes each run a mixed
+    workload — stream a 64 MB float64 array (memory-bandwidth-bound) and
+    grind a fixed scalar+hash loop (CPU-bound). Identical work every
+    call, so the wall time measures ONLY the host's current phase. Both
+    modes matter: a measured degradation episode this round inflated
+    CPU-bound work 2-10x while leaving memory streaming almost untouched
+    (an earlier one did the reverse), so a single-mode probe is blind to
+    half the failure modes. Run taskset-pinned to the same core budget
+    as the measured round it gates."""
     import numpy as np
     from multiprocessing import Process
 
     def work():
         a = np.zeros(8 * 1024 * 1024)
-        for _ in range(20):
-            a += 1.3
+        for _ in range(10):
+            a += 1.3                                  # memory-streaming leg
+        import hashlib
+        h = b"probe" * 16
+        for _ in range(40_000):                       # CPU-bound leg
+            h = hashlib.md5(h).digest() + h[:48]
+        x = 0
+        for i in range(2_000_000):
+            x += i ^ (i >> 3)
+        # first-touch leg: FRESH pages, touched once. This host's worst
+        # measured pathology is hypervisor page provisioning collapsing
+        # to ~0.01 GiB/s (reuse bandwidth unaffected!) — it stalls JVM
+        # heap pre-touch, Arrow buffer growth and every tmpfs write. A
+        # probe that only reuses warm buffers is blind to it; 96 MB of
+        # virgin pages is ~0.05 s healthy and ~10 s degraded.
+        ft = np.empty(12 * 1024 * 1024)
+        ft[::512] = 1.0
 
     ps = [Process(target=work) for _ in range(cores)]
     t0 = time.time()
@@ -115,10 +132,15 @@ def _calib_path() -> str:
     return os.path.join(REPO, "BENCH", "probe_calib.json")
 
 
+_PROBE_V = 2          # bump when run_probe's fixed work changes: old
+                      # calibrated bests are meaningless for new work
+
+
 def load_probe_calib() -> dict:
     try:
         with open(_calib_path()) as f:
-            return json.load(f)
+            c = json.load(f)
+        return c.get("best", {}) if c.get("v") == _PROBE_V else {}
     except (OSError, ValueError):
         return {}
 
@@ -126,7 +148,7 @@ def load_probe_calib() -> dict:
 def save_probe_calib(calib: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(_calib_path(), "w") as f:
-        json.dump(calib, f)
+        json.dump({"v": _PROBE_V, "best": calib}, f)
 
 
 def gated_probe(cores: int, env: dict, calib: dict,
@@ -158,11 +180,45 @@ def gated_probe(cores: int, env: dict, calib: dict,
     return False
 
 
-def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
-    """The scaling job: synthesize a deterministic CDC stream sized to the
-    sf (2 events per driver-events row), stream it through the full
-    pipeline (log tail -> LWW dedup -> extract -> epoch-fenced MERGE) and
-    measure merge-apply throughput."""
+def gen_log(cores: int, sf_dir: str, out_dir: str) -> dict:
+    """Generate the deterministic CDC event log ONCE per invocation.
+    datagen is a pure function of (seed, n, num_partitions) and every
+    round at every level uses the same values, so the log rounds would
+    each generate is byte-identical — writing it once and mounting it
+    read-only removes ~60%% of per-round wall time (the measured window
+    is untouched: each round still gets a fresh table + checkpoint)."""
+    sys.path.insert(0, REPO)
+    from tinyetl_spark import datagen
+    from tinyetl_spark.session import get_spark
+    from tinyetl_spark.sources.eventlog import append_events
+
+    extra = {}
+    if _fast_tmp():
+        extra["spark.local.dir"] = f"{_fast_tmp()}/spark-local"
+    spark = get_spark(app_name="cdc-bench-genlog", cores=cores,
+                      shuffle_partitions=max(cores, 8), extra_conf=extra)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_base = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_events = n_base * 160
+    n_urls = max(n_events // 20, 100)
+    # num_partitions pinned to 8 = max(cores, 8) at BOTH default levels
+    # (2 and 8), keeping the generated frame identical to what each
+    # round's in-process generation produced before.
+    ev = datagen.change_events(spark, n_events, n_urls, seed=42,
+                               hot_fraction=0.05, num_partitions=8)
+    append_events(ev, out_dir, segment_partitions=128)
+    spark.stop()
+    return {"n_events": n_events, "n_urls": n_urls, "log": out_dir}
+
+
+def _cdc_session(cores: int):
+    """One warmed-up session per LEVEL. The JVM is long-lived across that
+    level's rounds: this host's worst measured pathology is hypervisor
+    first-touch page provisioning collapsing ~1000x (0.01 GiB/s measured;
+    reuse bandwidth unaffected), which turns every JVM start + heap growth
+    into minutes of fault stalls — so heap pre-touch is paid ONCE per
+    level (and shrunk to 4g; the rest grows lazily), and rounds reuse the
+    warmed JVM, python worker pool and Arrow allocator pools."""
     sys.path.insert(0, REPO)
     from tinyetl_spark import datagen
     from tinyetl_spark.lake import LakeTable
@@ -171,29 +227,24 @@ def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
     from tinyetl_spark.sources.eventlog import append_events
     from tinyetl_spark.streaming.pipeline import run_to_completion
 
-    extra = {"spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch",
+    extra = {"spark.driver.extraJavaOptions": "-Xms4g -XX:+AlwaysPreTouch",
              # ~11MB log segments: 1 file = 1 split, so scan tasks pack
              # into even waves at any core count (the default 128MB
              # packing made 9 heavy + 9 sliver splits out of 64 files —
              # the last heavy task ran ALONE for ~5s per batch at 8
              # cores). On a real cluster this is the same knob sized to
              # segment roll size.
-             "spark.sql.files.maxPartitionBytes": "16m"}
+             "spark.sql.files.maxPartitionBytes": "16m",
+             # the level servers spend minutes SIGSTOPped between their
+             # rounds; generous timeouts keep the frozen JVM's internal
+             # heartbeat/rpc bookkeeping from tripping on resume
+             "spark.network.timeout": "7200s",
+             "spark.executor.heartbeatInterval": "60s"}
     if _fast_tmp():
         extra["spark.local.dir"] = f"{_fast_tmp()}/spark-local"
     spark = get_spark(app_name=f"cdc-bench-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8), extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
-    n_base = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    # 16M events in 2 micro-batches of 8M: a 10^10-event production stream
-    # on a 1000-executor cluster runs ~10^8-event micro-batches, so LARGE
-    # batches are the realistic shape — and they amortize the per-batch
-    # fixed cost (driver planning + trigger bookkeeping, measured ~0.7-1.1
-    # s/batch) that otherwise caps measured scaling efficiency (Amdahl:
-    # ~2s of serial section was 8% of the 8-core window at 4M batches,
-    # 4% at 8M).
-    n_events = n_base * 160
-    n_urls = max(n_events // 20, 100)
 
     # Warm the Python worker pool + codegen before the measured window:
     # 32 simultaneous cold mapInPandas workers cost 15-40s once per JVM
@@ -201,42 +252,43 @@ def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
     # kind the merge uses) — that's cluster startup, not throughput.
     def _warm(batches):
         import pandas as pd
-        from tinyetl_spark.extract import extract_series  # preload module
+        from tinyetl_spark.extract import extract_series  # noqa: F401
         for pdf in batches:
             yield pd.DataFrame({"n": [len(pdf)]})
     spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_warm, "n long").count()
-    # full-path warmup: a tiny merge into a throwaway table compiles the
-    # exact merge plan shape (JIT, codegen, python pool) outside the
-    # measured window — we measure SUSTAINED apply throughput.
+    # full-path warmup: a mini end-to-end run compiles the exact merge
+    # plan shape (query init, source listing, trigger planning, offset/
+    # commit logs, merge codegen, python pool) outside the measured
+    # window — first execution of the real shape per JVM measures 3-10x
+    # steady state. We measure SUSTAINED apply rate.
     wwork = tempfile.mkdtemp(prefix="tinyetl_warm_", dir=_fast_tmp())
     wev = datagen.change_events(spark, 100000, 10000, seed=7,
                                 num_partitions=max(cores, 8))
-    # warm the ENTIRE streaming path (query init, source listing, trigger
-    # planning, offset/commit logs, merge codegen, python pool) with a
-    # mini end-to-end run — first execution of the real shape per JVM
-    # measures 3-10x steady state (JIT + pool creation), which is cluster
-    # startup, not throughput. We measure SUSTAINED apply rate.
     LakeTable.create(spark, f"{wwork}/t", PAGES_SCHEMA,
                      key_col="url", num_buckets=32)
     append_events(wev, f"{wwork}/log", segment_partitions=8)
     run_to_completion(spark, f"{wwork}/log", f"{wwork}/t", f"{wwork}/ckpt",
                       max_files_per_trigger=4, query_name="warmup")
     shutil.rmtree(wwork, ignore_errors=True)
+    return spark
+
+
+def _cdc_round(spark, cores: int, log_dir: str) -> dict:
+    """ONE measured round: fresh table + checkpoint, replay the shared
+    log through the full pipeline (tail -> LWW dedup -> extract ->
+    epoch-fenced MERGE), report merge-apply throughput + the /proc
+    process-tree work decomposition."""
+    from tinyetl_spark.lake import LakeTable
+    from tinyetl_spark.schema import PAGES_SCHEMA
+    from tinyetl_spark.streaming.pipeline import run_to_completion
 
     work = tempfile.mkdtemp(prefix="tinyetl_bench_", dir=_fast_tmp())
     try:
-        ev = datagen.change_events(spark, n_events, n_urls, seed=42,
-                                   hot_fraction=0.05,
-                                   num_partitions=max(cores, 8))
-        # land the log in 128 segments -> 2 micro-batches of 64 files each;
-        # files-per-batch bounds the SCAN parallelism of a micro-batch, so
-        # a CDC agent must roll segments finer than the executor count.
-        append_events(ev, f"{work}/log", segment_partitions=128)
         LakeTable.create(spark, f"{work}/table", PAGES_SCHEMA,
                          key_col="url", num_buckets=32)
         t0 = time.time()
         c0 = _tree_cpu_seconds()
-        stats = run_to_completion(spark, f"{work}/log", f"{work}/table",
+        stats = run_to_completion(spark, log_dir, f"{work}/table",
                                   f"{work}/ckpt", max_files_per_trigger=64,
                                   query_name=f"cdc-bench-{cores}")
         elapsed = time.time() - t0
@@ -253,6 +305,60 @@ def run_cdc_ingest(cores: int, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def run_cdc_ingest(cores: int, sf_dir: str, log_dir: str | None = None) -> dict:
+    """Standalone one-shot round (--cdc-only): session + warmup + one
+    measured round; generates its own log if none is shared.
+    16M events in 2 micro-batches of 8M: a 10^10-event production stream
+    on a 1000-executor cluster runs ~10^8-event micro-batches, so LARGE
+    batches are the realistic shape — and they amortize the per-batch
+    fixed cost (driver planning + trigger bookkeeping, measured ~0.7-1.1
+    s/batch) that otherwise caps measured scaling efficiency."""
+    spark = _cdc_session(cores)
+    own_log = None
+    try:
+        if log_dir is None:
+            from tinyetl_spark import datagen
+            from tinyetl_spark.sources.eventlog import append_events
+            n_base = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+            n_events, n_urls = n_base * 160, max(n_base * 8, 100)
+            ev = datagen.change_events(spark, n_events, n_urls, seed=42,
+                                       hot_fraction=0.05,
+                                       num_partitions=max(cores, 8))
+            own_log = tempfile.mkdtemp(prefix="tinyetl_log_", dir=_fast_tmp())
+            append_events(ev, own_log, segment_partitions=128)
+            log_dir = own_log
+        return _cdc_round(spark, cores, log_dir)
+    finally:
+        if own_log:
+            shutil.rmtree(own_log, ignore_errors=True)
+        spark.stop()
+
+
+def run_cdc_server(cores: int, log_dir: str, ctrl_dir: str,
+                   rounds: int) -> None:
+    """Long-lived per-level round server. Protocol (files in ctrl_dir):
+    server writes ``ready_<cores>`` after warmup, then for each round r
+    waits for ``go_<cores>_<r>``, measures one round, atomically writes
+    its JSON to ``done_<cores>_<r>``. The parent interleaves levels by
+    SIGSTOP/SIGCONT of the whole process group, so only one level is
+    ever runnable — two JVM startups total instead of one per round,
+    which is what the host's first-touch pathology punishes."""
+    spark = _cdc_session(cores)
+    try:
+        with open(os.path.join(ctrl_dir, f"ready_{cores}"), "w") as f:
+            f.write("1")
+        for r in range(rounds):
+            go = os.path.join(ctrl_dir, f"go_{cores}_{r}")
+            while not os.path.exists(go):
+                time.sleep(0.3)
+            res = _cdc_round(spark, cores, log_dir)
+            tmp = os.path.join(ctrl_dir, f".done_{cores}_{r}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(res, f)
+            os.replace(tmp, os.path.join(ctrl_dir, f"done_{cores}_{r}"))
+    finally:
         spark.stop()
 
 
@@ -663,7 +769,21 @@ identical plan fans out across executors.
 def main() -> None:
     if "--cdc-only" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
-        print(json.dumps(run_cdc_ingest(cores, SF_DIR)))
+        log_dir = (sys.argv[sys.argv.index("--log") + 1]
+                   if "--log" in sys.argv else None)
+        print(json.dumps(run_cdc_ingest(cores, SF_DIR, log_dir=log_dir)))
+        return
+    if "--gen-log" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        out = sys.argv[sys.argv.index("--out") + 1]
+        print(json.dumps(gen_log(cores, SF_DIR, out)))
+        return
+    if "--cdc-server" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        run_cdc_server(cores,
+                       sys.argv[sys.argv.index("--log") + 1],
+                       sys.argv[sys.argv.index("--ctrl") + 1],
+                       int(sys.argv[sys.argv.index("--rounds") + 1]))
         return
     if "--commit-cost" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
@@ -715,31 +835,97 @@ def main() -> None:
     gate_retries = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "4"))
     calib = load_probe_calib()
     probe_attempts: list = []
-    for i in range(max(rounds, high_rounds)):
-        levels = ([("low", low_c)] if i < rounds else []) + \
-                 ([("high", high_c)] if i < high_rounds else [])
-        for label, cores in levels:
-            clean = gated_probe(cores, env, calib, gate_factor,
-                                gate_retries, probe_attempts)
-            # taskset pins the WHOLE process tree (JVM + python workers) to
-            # a `cores`-wide CPU budget — the honest emulation of an
-            # N-executor vs 4N-executor cluster on one box. Without it the
-            # low run's python workers silently use the other cores.
-            cmd = [sys.executable, os.path.abspath(__file__), "--cdc-only",
-                   "--cores", str(cores)]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
-            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-            if not lines:
-                print(p.stderr[-2000:], file=sys.stderr)
-                raise RuntimeError(f"cdc bench subprocess failed at {cores} cores")
-            res = json.loads(lines[-1])
-            res["probe_clean"] = clean
-            print(f"  cdc@local[{cores}]: {res}", file=sys.stderr)
-            samples[label].append(res)
-            if label not in scaling or res["events_per_sec"] > scaling[label]["events_per_sec"]:
-                scaling[label] = res
+    # the event log every round replays is identical by construction —
+    # generate it ONCE (setup, unmeasured) and share it read-only
+    shared_log = os.path.join(_fast_tmp() or tempfile.gettempdir(),
+                              "tinyetl_shared_log")
+    shutil.rmtree(shared_log, ignore_errors=True)
+    cmd = [sys.executable, os.path.abspath(__file__), "--gen-log",
+           "--cores", "8", "--out", shared_log]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", "0-7"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    if not any(ln.startswith("{") for ln in p.stdout.splitlines()):
+        print(p.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError("gen-log subprocess failed")
+    print(f"  shared log ready at {shared_log}", file=sys.stderr)
+
+    # One LONG-LIVED round server per level (started sequentially, then
+    # frozen). The parent interleaves rounds across levels by
+    # SIGCONT/SIGSTOP of each server's whole process group, so exactly
+    # one level is runnable at any moment — same interleaved protocol,
+    # but only TWO JVM startups per invocation (this host's first-touch
+    # pathology makes every extra JVM start minutes of fault stalls).
+    # taskset pins the WHOLE process tree (JVM + python workers) to a
+    # `cores`-wide CPU budget — the honest emulation of an N-executor vs
+    # 4N-executor cluster on one box.
+    import signal
+    ctrl = tempfile.mkdtemp(prefix="tinyetl_ctrl_")
+    servers: dict[str, subprocess.Popen] = {}
+
+    def _start_server(label, cores, n_rounds):
+        cmd = [sys.executable, os.path.abspath(__file__), "--cdc-server",
+               "--cores", str(cores), "--log", shared_log,
+               "--ctrl", ctrl, "--rounds", str(n_rounds)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL, env=env, cwd=REPO,
+                             start_new_session=True)
+        ready = os.path.join(ctrl, f"ready_{cores}")
+        while not os.path.exists(ready):
+            if p.poll() is not None:
+                raise RuntimeError(f"cdc server {label} died during startup")
+            time.sleep(0.5)
+        os.killpg(p.pid, signal.SIGSTOP)
+        print(f"  cdc server {label} (local[{cores}]) warmed + frozen",
+              file=sys.stderr)
+        return p
+
+    def _server_round(label, cores, r):
+        p = servers[label]
+        os.killpg(p.pid, signal.SIGCONT)
+        with open(os.path.join(ctrl, f"go_{cores}_{r}"), "w") as f:
+            f.write("1")
+        done = os.path.join(ctrl, f"done_{cores}_{r}")
+        while not os.path.exists(done):
+            if p.poll() is not None:
+                raise RuntimeError(f"cdc server {label} died mid-round")
+            time.sleep(0.5)
+        os.killpg(p.pid, signal.SIGSTOP)
+        with open(done) as f:
+            return json.load(f)
+
+    try:
+        servers["low"] = _start_server("low", low_c, rounds)
+        servers["high"] = _start_server("high", high_c, high_rounds)
+        for i in range(max(rounds, high_rounds)):
+            levels = ([("low", low_c)] if i < rounds else []) + \
+                     ([("high", high_c)] if i < high_rounds else [])
+            for label, cores in levels:
+                clean = gated_probe(cores, env, calib, gate_factor,
+                                    gate_retries, probe_attempts)
+                res = _server_round(label, cores, i)
+                res["probe_clean"] = clean
+                print(f"  cdc@local[{cores}]: {res}", file=sys.stderr)
+                samples[label].append(res)
+                if label not in scaling or res["events_per_sec"] > scaling[label]["events_per_sec"]:
+                    scaling[label] = res
+    finally:
+        for p in servers.values():
+            for sig in (signal.SIGCONT, signal.SIGTERM):
+                try:
+                    os.killpg(p.pid, sig)
+                except ProcessLookupError:
+                    pass
+        time.sleep(2)
+        for p in servers.values():
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+        shutil.rmtree(ctrl, ignore_errors=True)
+    shutil.rmtree(shared_log, ignore_errors=True)   # free the tmpfs RAM
     import statistics
     med = {lbl: round(statistics.median(r["events_per_sec"] for r in rs), 1)
            for lbl, rs in samples.items()}
@@ -815,6 +1001,11 @@ def main() -> None:
         "commit_cost": commit_cost,
         "metadata_cost": metadata_cost,
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_HISTORY") == "1":
+        # dev/smoke invocations (tiny sf, reduced rounds) must not
+        # pollute the honest protocol record in BENCH/history.jsonl
+        print(json.dumps(result))
+        return
     history = append_history(result)
     write_baseline_md(result, history)
     print(json.dumps(result))
