@@ -138,6 +138,39 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) materialization of the
+    change stream: every non-delete event becomes a version row with a
+    validity interval; deletes close intervals and emit nothing. One
+    shuffle + one window (operators/scd2.py) — the warehouse history the
+    reference's never-implemented skip_existing flag gestured at."""
+    from tinyetl_spark.operators.scd2 import scd2_history
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    return (scd2_history(changes)
+            .select("url", "event_seq", "valid_from", "valid_to",
+                    "is_current")
+            .orderBy("url", "event_seq"))
+
+
+SCD2_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op
+  from events
+), hist as (
+  select url, event_seq, op, warc_ts as valid_from,
+         lead(warc_ts) over (partition by url
+                             order by warc_ts asc, event_seq asc) as valid_to
+  from changes
+)
+select url, event_seq, valid_from, valid_to,
+       (valid_to is null) as is_current
+from hist where op <> 'delete'
+"""
+
+
 CDC_ORACLE = r"""
 with changes as (
   select event_id as event_seq,
@@ -753,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_final_state": cdc_merge_final_state,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_change_feed": cdc_change_feed,
+        "cdc_scd2_history": cdc_scd2_history,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_suppliers": q5_local_suppliers,
@@ -1192,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
             from numbered group by user_id, sno
             order by user_id, session_start
         """,
+        "cdc_scd2_history": SCD2_ORACLE,
         "cdc_change_feed": """
             with changes as (
               select event_id as event_seq,

@@ -464,3 +464,42 @@ def test_builtin_decoders_drive_spark_plumbing(spark):
     finally:
         for k in ("image", "audio", "image/resize"):
             MM.DecoderRegistry._decoders.pop(k, None)
+
+
+def test_scd2_history_intervals_and_asof(spark):
+    """SCD2: each non-delete event opens an interval, the next event of
+    the key closes it, a delete closes without emitting, as_of picks the
+    version valid at T."""
+    from datetime import datetime
+
+    from tinyetl_spark.operators.scd2 import as_of, scd2_history
+
+    ts = lambda s: datetime(2025, 1, 1, 0, 0, s)
+    rows = [
+        (1, "u1", ts(10), "insert"),
+        (2, "u1", ts(20), "update"),
+        (3, "u1", ts(30), "delete"),
+        (4, "u1", ts(40), "insert"),       # re-created after delete
+        (5, "u2", ts(15), "insert"),
+        (6, "u3", ts(5), "insert"),
+        (7, "u3", ts(6), "delete"),        # ends deleted -> no current row
+    ]
+    df = spark.createDataFrame(
+        rows, "event_seq long, url string, warc_ts timestamp, op string")
+    h = scd2_history(df).select("url", "event_seq", "valid_from",
+                                "valid_to", "is_current")
+    got = {r["event_seq"]: (r["valid_to"], r["is_current"])
+           for r in h.collect()}
+    assert got == {
+        1: (ts(20), False),
+        2: (ts(30), False),                # closed by the delete
+        4: (None, True),
+        5: (None, True),
+        6: (ts(6), False),                 # closed by delete, none current
+    }
+    # point-in-time: at t=25 u1 is version 2, u2 version 5, u3 gone
+    at25 = {r["url"]: r["event_seq"] for r in as_of(h, ts(25)).collect()}
+    assert at25 == {"u1": 2, "u2": 5}
+    # at t=35 u1 is deleted (interval closed, next opens at 40)
+    at35 = {r["url"]: r["event_seq"] for r in as_of(h, ts(35)).collect()}
+    assert at35 == {"u2": 5}
