@@ -734,6 +734,18 @@ table (write O(batch), never O(table)), state in the table, commit cost
 O(num_buckets).
 
 Sandbox hazards found, reproduced, and mitigated:
+- the worst mode (round 4): hypervisor FIRST-TOUCH page provisioning
+  intermittently collapses ~1000x (measured 0.01 GiB/s for 1 GiB of
+  fresh anonymous pages vs ~0.5 GiB/s seconds later on the same host;
+  reuse bandwidth unaffected). Every JVM start (heap pre-touch), python
+  worker spawn, Arrow buffer growth and fresh tmpfs write stalls in page
+  faults (kernel system time, ~zero user time). Mitigations: one
+  LONG-LIVED round server per level (two JVM startups per invocation
+  instead of one per round, SIGSTOP/SIGCONT interleaving preserves the
+  equal-interleaved-rounds protocol), heap pre-touch shrunk to 4g with
+  lazy growth, the shared once-per-invocation event log, and a probe
+  with an explicit first-touch leg so the clean-phase gate can SEE this
+  mode (its memory-streaming leg alone is blind to it);
 - zstd parquet codec: pathological JNI contention at high task
   concurrency (4x job slowdown) -> snappy;
 - python worker pools are keyed per eval-type; cold mapInPandas workers

@@ -449,14 +449,17 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
 
     acc = table.spark.sparkContext.accumulator({}, _SlotStatsParam())
 
+    has_ts = "warc_ts" in schema_cols
+
     def stats_extract(batches):
-        import pandas as pd  # noqa: F401 (worker-side)
+        import pandas as pd
         from pyspark import TaskContext
         from tinyetl_spark.extract import extract_series
-        stats: dict[int, list[int]] = {}
+        stats: dict[int, list] = {}
 
         def bucket_stats(bkt):
-            return stats.setdefault(int(bkt), [0, 0, 0])   # rows, events, deletes
+            # rows, events, deletes, ts_min_us, ts_max_us (zone map)
+            return stats.setdefault(int(bkt), [0, 0, 0, None, None])
 
         for keep in batches:
             if len(keep) == 0:
@@ -474,6 +477,14 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
                 s[0] += len(idx)
                 s[1] += int(kb.iloc[idx].sum())
                 s[2] += int(kd.iloc[idx].sum())
+                if has_ts:
+                    tsv = keep["warc_ts"].iloc[idx]
+                    mn, mx = tsv.min(), tsv.max()
+                    if pd.notna(mn):
+                        mni = int(pd.Timestamp(mn).value // 1000)
+                        mxi = int(pd.Timestamp(mx).value // 1000)
+                        s[3] = mni if s[3] is None else min(s[3], mni)
+                        s[4] = mxi if s[4] is None else max(s[4], mxi)
             yield keep[out_cols]
         tc = TaskContext.get()
         acc.add({int(tc.partitionId()): stats})
@@ -495,13 +506,16 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
     mark("job_write")
 
     # ---- driver-side bookkeeping: NO extra Spark job.
-    slot_stats: dict[int, dict[int, list[int]]] = dict(acc.value)
-    per_bucket: dict[int, list[int]] = {}
+    slot_stats: dict[int, dict[int, list]] = dict(acc.value)
+    per_bucket: dict[int, list] = {}
     for st in slot_stats.values():
         for bkt, s in st.items():
-            agg = per_bucket.setdefault(bkt, [0, 0, 0])
+            agg = per_bucket.setdefault(bkt, [0, 0, 0, None, None])
             for i in range(3):
                 agg[i] += s[i]
+            if len(s) > 3 and s[3] is not None:
+                agg[3] = s[3] if agg[3] is None else min(agg[3], s[3])
+                agg[4] = s[4] if agg[4] is None else max(agg[4], s[4])
     # slot_stats empty <=> the write job ran ZERO tasks (a zero-partition
     # micro-batch: availableNow + maxFilesPerTrigger can deliver a log
     # segment holding no rows). With no task, the Observation never
@@ -534,9 +548,14 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             continue
         k = int(m.group(1))
         st = slot_stats.get(k)
+        ts_range = None
         if st is not None:
             bs = sorted(bkt for bkt, s in st.items() if s[0] > 0)
             rows = sum(s[0] for s in st.values())
+            los = [s[3] for s in st.values() if len(s) > 3 and s[3] is not None]
+            his = [s[4] for s in st.values() if len(s) > 3 and s[4] is not None]
+            if los:
+                ts_range = [min(los), max(his)]
         else:  # accumulator lost (shouldn't happen) -> correct superset
             bs = sorted(bkt for bkt in touched
                         if any(pair_slot[(bkt, j)] == k
@@ -544,6 +563,11 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
             rows = 0
         entry = {"path": os.path.join(out_dir, fn), "buckets": bs,
                  "rows": rows, "schema_version": snap.schema_version}
+        if ts_range is not None:
+            # file-level zone map (epoch µs): readers prune whole files on
+            # warc_ts predicates without any IO — Iceberg column-stats
+            # analogue, maintained for free by the stats pass
+            entry["ts_range"] = ts_range
         if use_mor:
             entry["delta"] = True
         new_entries.append(entry)

@@ -254,7 +254,8 @@ class LakeTable:
         return F.pmod(F.xxhash64(c), F.lit(num_buckets or snap.num_buckets))
 
     def read(self, version: int | None = None, buckets: set[int] | None = None,
-             include_tombstones: bool = False, resolve: bool = True) -> DataFrame:
+             include_tombstones: bool = False, resolve: bool = True,
+             ts_range: tuple | None = None) -> DataFrame:
         """Snapshot read with manifest-level bucket pruning and
         union-by-name schema conformance across file schema versions.
 
@@ -262,6 +263,17 @@ class LakeTable:
         does not intersect ``buckets`` (file pruning — no IO at all);
         (2) a residual row filter on the stored ``_bucket`` column for
         files that hold more than one bucket.
+
+        ``ts_range=(lo, hi)`` (inclusive; either side None = open)
+        additionally prunes whole files via the manifest's per-file
+        ``warc_ts`` zone map (Iceberg column-stats analogue) and applies
+        the residual row filter — a time-window scan over a 100 TB table
+        touches only the files whose range intersects. Files without
+        recorded stats are never pruned. When merge-on-read deltas are
+        present, only CLEAN base files are zone-pruned: a delta version
+        outside the window can shadow an in-window base row, so the
+        LWW-resolving union must see every version of the dirty buckets
+        (the residual filter still applies after resolution).
 
         If the snapshot carries merge-on-read *delta* files, the read
         resolves last-writer-wins across base+delta per key (one window
@@ -275,6 +287,25 @@ class LakeTable:
             files = [f for f in files if set(f["buckets"]) & buckets]
         cur = snap.schema
         names = {f.name for f in cur.fields}
+
+        def _to_us(v):
+            import datetime as _dt
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            return int(v)
+
+        def _ts_overlaps(f):
+            tr = f.get("ts_range")
+            if tr is None or ts_range is None:
+                return True
+            lo, hi = ts_range
+            if lo is not None and tr[1] < _to_us(lo):
+                return False
+            if hi is not None and tr[0] > _to_us(hi):
+                return False
+            return True
 
         def read_files(fs):
             if not fs:
@@ -316,6 +347,8 @@ class LakeTable:
                      if not f.get("delta")
                      and not (set(f["buckets"]) & delta_buckets)]
             dirty = [f for f in files if f not in clean]
+            if ts_range is not None:      # zone-prune CLEAN base files only
+                clean = [f for f in clean if _ts_overlaps(f)]
             from pyspark.sql import Window
             w = Window.partitionBy(snap.key_col).orderBy(
                 F.col("warc_ts").desc(), F.col("event_seq").desc())
@@ -324,9 +357,17 @@ class LakeTable:
                         .filter(F.col("_rn") == 1).drop("_rn"))
             df = read_files(clean).unionByName(resolved) if clean else resolved
         else:
+            if ts_range is not None:
+                files = [f for f in files if _ts_overlaps(f)]
             df = read_files(files)
         if not include_tombstones and "_deleted" in names:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        if ts_range is not None and "warc_ts" in names:
+            lo, hi = ts_range
+            if lo is not None:
+                df = df.filter(F.col("warc_ts") >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col("warc_ts") <= F.lit(hi))
         return df
 
     def read_changes(self, start_version: int,
@@ -472,19 +513,41 @@ class LakeTable:
         bucket aggregate frame for lineage/stats)."""
         snap = self.snapshot()
         sv = snap.schema_version if schema_version is None else schema_version
-        rb = (self.spark.read.parquet(out_dir)
-              .groupBy(F.input_file_name().alias("file"),
-                       F.col("_bucket").alias("bucket"))
-              .agg(F.count("*").alias("rows")))
+        src = self.spark.read.parquet(out_dir)
+        aggs = [F.count("*").alias("rows")]
+        has_ts = "warc_ts" in src.columns
+        if has_ts:                     # keep the zone map through rewrites
+            aggs += [F.min("warc_ts").alias("ts_lo"),
+                     F.max("warc_ts").alias("ts_hi")]
+        rb = (src.groupBy(F.input_file_name().alias("file"),
+                          F.col("_bucket").alias("bucket"))
+              .agg(*aggs))
         per_file: dict[str, dict[int, int]] = {}
+        ranges: dict[str, list] = {}
+
+        def _us(dt):
+            import datetime as _dt
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            return int(dt.timestamp() * 1_000_000)
+
         agg_rows = rb.collect()
         for r in agg_rows:
             path = r["file"]
             path = path[7:] if path.startswith("file://") else path
             per_file.setdefault(path, {})[int(r["bucket"])] = int(r["rows"])
-        entries = [{"path": p, "buckets": sorted(bs),
-                    "rows": sum(bs.values()), "schema_version": sv}
-                   for p, bs in per_file.items()]
+            if has_ts and r["ts_lo"] is not None:
+                lo, hi = _us(r["ts_lo"]), _us(r["ts_hi"])
+                tr = ranges.get(path)
+                ranges[path] = ([min(tr[0], lo), max(tr[1], hi)]
+                                if tr else [lo, hi])
+        entries = []
+        for p, bs in per_file.items():
+            e = {"path": p, "buckets": sorted(bs),
+                 "rows": sum(bs.values()), "schema_version": sv}
+            if p in ranges:
+                e["ts_range"] = ranges[p]
+            entries.append(e)
         return entries, rb
 
     def write_data(self, df: DataFrame, snap_version: int,
