@@ -925,10 +925,21 @@ def main() -> None:
         with open(done) as f:
             return json.load(f)
 
+    # wall-clock budget: under the host's degradation episodes a full
+    # 5-pair invocation can stretch past 2.5h; once the budget is spent,
+    # stop SCHEDULING further round-pairs (never abort one mid-flight —
+    # levels keep equal counts) and report medians over what completed.
+    budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "7200"))
+    t_inv = time.time()
     try:
         servers["low"] = _start_server("low", low_c, rounds)
         servers["high"] = _start_server("high", high_c, high_rounds)
         for i in range(max(rounds, high_rounds)):
+            if i > 0 and time.time() - t_inv > budget_s:
+                print(f"  bench budget ({budget_s}s) spent after {i} "
+                      "round-pairs — stopping early, medians use "
+                      "completed rounds", file=sys.stderr)
+                break
             levels = ([("low", low_c)] if i < rounds else []) + \
                      ([("high", high_c)] if i < high_rounds else [])
             for label, cores in levels:
