@@ -503,3 +503,23 @@ def test_scd2_history_intervals_and_asof(spark):
     # at t=35 u1 is deleted (interval closed, next opens at 40)
     at35 = {r["url"]: r["event_seq"] for r in as_of(h, ts(35)).collect()}
     assert at35 == {"u2": 5}
+
+
+def test_canonical_url(spark):
+    """Scheme/host case, default ports, fragments, utm params, param
+    order and empty paths all normalize; non-defaults survive."""
+    from tinyetl_spark.operators.text import canonical_url
+    cases = [
+        ("HTTP://Example.COM:80/a?b=1#frag", "http://example.com/a?b=1"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://a.com/p?z=2&a=1&utm_source=tw&b=3", "http://a.com/p?a=1&b=3&z=2"),
+        ("http://a.com/p?utm_campaign=x", "http://a.com/p"),
+        ("  http://a.com/p  ", "http://a.com/p"),
+        ("http://a.com/p#only-frag", "http://a.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]

@@ -107,3 +107,40 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("lang_pred", lang_id(c))
               .withColumn("quality", quality_score(c))
               .withColumn("fp", fingerprint(c)))
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical URL form for dedup keying — the normalization every
+    web-crawl pipeline applies before hashing urls (no reference
+    equivalent; part of the training-data surface):
+
+    - scheme and host lowercased; default ports (http:80, https:443)
+      stripped; fragment dropped;
+    - ``utm_*`` tracking params dropped, remaining query params sorted
+      (param order never changes the resource);
+    - empty path becomes ``/``, empty query drops its ``?``.
+
+    Pure Catalyst expressions (regexp + higher-order functions): runs
+    JVM-side in whole-stage codegen, no Python in the plan."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r'^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+    rest = F.regexp_replace(u, r'^[A-Za-z][A-Za-z0-9+.\-]*://', '')
+    rest = F.regexp_replace(rest, r'#.*$', '')
+    hostport = F.regexp_extract(rest, r'^([^/?]*)', 1)
+    host = F.lower(F.regexp_extract(hostport, r'^([^:]*)', 1))
+    port = F.regexp_extract(hostport, r':([0-9]+)$', 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    path = F.regexp_extract(rest, r'^[^/?]*([^?]*)', 1)
+    query = F.regexp_extract(rest, r'\?(.*)$', 1)
+    params = F.filter(
+        F.split(query, '&'),
+        lambda x: (x != F.lit("")) & ~F.startswith(x, F.lit("utm_")))
+    q2 = F.array_join(F.array_sort(params), '&')
+    return F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(F.concat(scheme, F.lit("://"))),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)))
