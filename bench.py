@@ -1001,9 +1001,17 @@ def main() -> None:
     cpu_inflation = (round(med_cpu["high"] / med_cpu["low"], 3)
                      if med_cpu["low"] else None)
 
-    queries = run_queries(SF_DIR, CPUS)
-    commit_cost = run_commit_cost_subprocess(env)
-    metadata_cost = run_metadata_cost_subprocess(env)
+    if "--scaling-only" in sys.argv:
+        # opportunistic clean-phase invocation: measure ONLY the scaling
+        # pair and append it to the honest history record (the full
+        # query/commit/metadata phases are unchanged by host phase and
+        # already recorded) — lets a short clean window produce a clean
+        # efficiency record without the ~40 min of tail phases.
+        queries, commit_cost, metadata_cost = {}, None, None
+    else:
+        queries = run_queries(SF_DIR, CPUS)
+        commit_cost = run_commit_cost_subprocess(env)
+        metadata_cost = run_metadata_cost_subprocess(env)
 
     result = {
         "metric": "merge_apply_events_per_sec",
@@ -1047,7 +1055,8 @@ def main() -> None:
         print(json.dumps(result))
         return
     history = append_history(result)
-    write_baseline_md(result, history)
+    if "--scaling-only" not in sys.argv:
+        write_baseline_md(result, history)
     print(json.dumps(result))
 
 
