@@ -152,6 +152,38 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "event_seq"))
 
 
+def text_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/text.py canonical_url): messy
+    urls are built deterministically from the events table (mixed case,
+    default ports, utm params, unsorted params, fragments), then
+    normalized. The oracle constructs the EXPECTED canonical string
+    directly — an independent statement of the intended semantics, not a
+    reimplementation of the operator."""
+    ev = _t(spark, sf_dir, "events")
+    messy = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("HTTP"))
+         .otherwise(F.lit("https")),
+        F.lit("://WWW.Example.COM"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(":80"))
+         .otherwise(F.lit(":443")),
+        F.lit("/p/"), F.col("user_id").cast("string"),
+        F.lit("?utm_campaign=c&z="), F.col("event_type"),
+        F.lit("&a=1#frag"))
+    return (ev.select(F.col("event_id").alias("event_seq"),
+                      T.canonical_url(messy).alias("url_canon"))
+              .orderBy("event_seq"))
+
+
+CANONICAL_URL_ORACLE = r"""
+select event_id as event_seq,
+       (case when event_id % 2 = 0 then 'http' else 'https' end)
+       || '://www.example.com/p/' || user_id
+       || '?a=1&z=' || event_type as url_canon
+from events
+order by event_seq
+"""
+
+
 SCD2_ORACLE = r"""
 with changes as (
   select event_id as event_seq,
@@ -787,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_change_feed": cdc_change_feed,
         "cdc_scd2_history": cdc_scd2_history,
+        "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_suppliers": q5_local_suppliers,
@@ -1227,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
             order by user_id, session_start
         """,
         "cdc_scd2_history": SCD2_ORACLE,
+        "text_canonical_urls": CANONICAL_URL_ORACLE,
         "cdc_change_feed": """
             with changes as (
               select event_id as event_seq,
