@@ -463,3 +463,62 @@ def test_hot_bucket_skew_split(spark, tmpdir_path):
     b2 = mk(2_000_000)
     merge_apply(t, b2, 2, mode="mor")
     assert_state_equal(t, b0.union(b1).union(b2))
+
+
+def test_hot_bucket_skew_split_power_of_two(spark, tmpdir_path):
+    """Regression (round-5 advice): when nsplit DIVIDES num_buckets —
+    the common case, since bucket counts are powers of two — an
+    UNSEEDED salt hash is fully correlated with the bucket id
+    (hash % nsplit is determined by hash % num_buckets), every hot-bucket
+    row gets the same salt, and the split is a silent no-op producing one
+    file. Crafts nsplit=2 against 4 buckets and asserts the hot bucket
+    really lands in >= 2 non-empty, balanced files, with LWW state still
+    oracle-exact (the seeded salt is still a pure function of the url)."""
+    from datetime import datetime, timedelta
+
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    cand = (spark.range(0, 800)
+            .select(F.concat(F.lit("https://two.example.com/p/"),
+                             F.col("id")).alias("url"))
+            .withColumn("b", F.pmod(F.xxhash64("url"), F.lit(4))))
+    by_bucket: dict[int, list[str]] = {}
+    for r in cand.collect():
+        by_bucket.setdefault(int(r["b"]), []).append(r["url"])
+    hot_bucket, hot_urls = max(by_bucket.items(), key=lambda kv: len(kv[1]))
+    # winners: hot == sum(cold) => hot = 2 x mean-over-4-buckets =>
+    # nsplit = ceil(2) = 2, which divides 4
+    hot_urls = hot_urls[:60]
+    cold_urls = [u for b, us in by_bucket.items() if b != hot_bucket
+                 for u in us[:20]]
+    assert len(cold_urls) == 60
+    base = datetime(2025, 1, 1)
+    sch = ("event_seq long, url string, warc_ts timestamp, op string, "
+           "html binary, lang string")
+
+    def mk(seq0):
+        rows, s = [], seq0
+        for u in hot_urls:
+            for _ in range(4):
+                rows.append((s, u, base + timedelta(seconds=s), "update",
+                             b"<p>hot page</p>", "en"))
+                s += 1
+        for u in cold_urls:
+            rows.append((s, u, base + timedelta(seconds=s), "update",
+                         b"<p>cold page</p>", "en"))
+            s += 1
+        return spark.createDataFrame(rows, sch)
+
+    b0, b1 = mk(0), mk(1_000_000)
+    merge_apply(t, b0, 0)                      # records the skewed lineage
+    lin = {r["bucket"]: r["rows"] for r in t.snapshot().lineage}
+    mean = sum(lin.values()) / len(lin)
+    assert lin[hot_bucket] == 2 * mean         # forces nsplit exactly 2
+
+    merge_apply(t, b1, 1)                      # split fires off lineage
+    snap = t.snapshot()
+    hot_files = [f for f in snap.files if hot_bucket in f["buckets"]]
+    assert len(hot_files) >= 2                 # the no-op produces 1
+    assert all(f["buckets"] == [hot_bucket] for f in hot_files)
+    rows_per_split = [f["rows"] for f in hot_files]
+    assert max(rows_per_split) <= 3 * min(rows_per_split)
+    assert_state_equal(t, b0.union(b1))

@@ -145,10 +145,16 @@ def _slotkey_column(num_b: int, slots: int, bucket_slot: dict[int, int],
     costing ~2.3 s of per-batch plan analysis at 4096 buckets).
 
     ``splits`` spreads a HOT bucket over several partitions: its rows are
-    salted by ``pmod(xxhash64(key), nsplit)`` onto the bucket's slot
+    salted by ``pmod(xxhash64(key, 1), nsplit)`` onto the bucket's slot
     list. The salt is a pure function of the KEY, so every key's rows
     still land in exactly one sort partition — the LWW window needs no
-    cross-split resolution and the hot path stays one job."""
+    cross-split resolution and the hot path stays one job. The salt hash
+    is SEEDED (extra lit(1) column) to decorrelate it from the bucket id
+    ``pmod(xxhash64(key), num_buckets)``: with the unseeded hash, any
+    nsplit dividing num_buckets (2/4/8/16 against power-of-two bucket
+    counts) makes the salt CONSTANT within a bucket — hash % nsplit is
+    fully determined by hash % num_buckets — and the skew split silently
+    routes every row back to one partition."""
     splits = splits or {}
     ck = (num_b, slots, tuple(sorted(bucket_slot.items())),
           tuple(sorted((b, tuple(sl)) for b, sl in splits.items())), key_col)
@@ -164,7 +170,7 @@ def _slotkey_column(num_b: int, slots: int, bucket_slot: dict[int, int],
         for bkt, slot_list in sorted(splits.items()):
             sub_keys = np.array([slot_keys[s] for s in slot_list],
                                 dtype=np.int64)
-            sub = (F.pmod(F.xxhash64(F.col(key_col)),
+            sub = (F.pmod(F.xxhash64(F.col(key_col), F.lit(1)),
                           F.lit(len(slot_list))) + 1).cast("int")
             col = F.when(F.col("_bucket") == F.lit(bkt),
                          F.element_at(F.lit(sub_keys), sub).cast("long")
@@ -190,7 +196,12 @@ def _skew_splits(snap, touched: set[int], threshold: float,
     total = sum(ev.values())
     if not total or not touched:
         return {}
-    mean = total / len(touched)
+    # mean over the lineage's OWN bucket set: dividing by the CURRENT
+    # batch's touched-bucket count skews the signal whenever the two
+    # sets differ (a sparse batch inflates the mean and suppresses
+    # legitimate splits; a batch touching more buckets than the lineage
+    # wrote would over-split)
+    mean = total / len(ev)
     out = {}
     for b in touched:
         e = ev.get(b, 0)
