@@ -806,7 +806,44 @@ def q_daily_event_rollup(spark, sf_dir):
               .orderBy("day", "event_type"))
 
 
+def q_connector_roundtrip(spark, sf_dir):
+    """End-to-end connector-stack exercise (round-5 verdict #3): a slice
+    of `events` is written through the single-writer SQLite SINK
+    (sources/dbapi.py executemany machinery, sqlite dialect) and read
+    back through the partitioned SOURCE (rowid-ranged parallel scan,
+    4 tasks) — the oracle is the same slice straight from parquet, so a
+    green row proves the sink's CREATE/INSERT SQL, the source's range
+    splitting and the type mapping are collectively LOSSLESS. Timestamps
+    travel as epoch-µs BIGINT (SQLite's integer affinity is exact;
+    duckdb's epoch_us reproduces it); reference treats connector
+    roundtrips as its core test surface (sqlite.rs:355-460)."""
+    import tempfile
+
+    from tinyetl_spark.sources.sqlite_py import read_sqlite, write_sqlite
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 20 == 0)
+          .select("event_id",
+                  F.unix_micros(F.col("ts")).alias("ts_us"),
+                  "user_id", "event_type", "value", "props"))
+    db = tempfile.mktemp(suffix=".sqlite", prefix="tinyetl_rt_")
+    write_sqlite(ev, db, "events_rt", truncate=True)
+    back = read_sqlite(spark, db, "events_rt", num_partitions=4)
+    return back.select("event_id", "ts_us", "user_id", "event_type",
+                       "value", "props").orderBy("event_id")
+
+
 # ----------------------------------------------------------- contract API
+
+def release_caches() -> int:
+    """Registry-level cache teardown (round-5 verdict #8): frees every
+    intermediate the dedup/LSH family persisted, so a long-lived session
+    (streaming driver, repeated bench loops) running the full registry
+    holds ZERO persisted RDDs between queries. Each dedup call already
+    releases its predecessor's caches; this frees the LAST query's too.
+    Returns the number of frames unpersisted."""
+    from tinyetl_spark.operators import dedup
+    return dedup.release_caches()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -858,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_ranks": q_window_ranks,
         "stream_enriched_segments": stream_enriched_segments,
         "multimodal_features": multimodal_features,
+        "q_connector_roundtrip": q_connector_roundtrip,
     }
 
 
@@ -1413,5 +1451,11 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(range(0, 16), j -> px[3*j + 3])) / 16.0, 6) as mean_b
             from b
             order by media_id
+        """,
+        "q_connector_roundtrip": """
+            select event_id, epoch_us(ts) as ts_us, user_id, event_type,
+                   value, props
+            from events where event_id % 20 = 0
+            order by event_id
         """,
     }

@@ -107,6 +107,118 @@ def test_http_fetch_headers_and_sniff(tmpdir_path):
         urllib.request.urlopen = orig
 
 
+def _serve(handler_cls):
+    import http.server
+    import threading
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_http_retry_transient_and_fail_fast_permanent(tmpdir_path):
+    """Transient 503s are retried with backoff until success; permanent
+    4xx raises immediately without burning retries (loopback server —
+    real sockets, no external network)."""
+    import http.server
+    import urllib.error
+
+    import pytest as _pytest
+
+    payload = b"id,name\n1,a\n2,b\n"
+    state = {"fails": 2, "hits": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            state["hits"] += 1
+            if self.path == "/gone":
+                self.send_response(404)
+                self.end_headers()
+                return
+            if state["fails"] > 0:
+                state["fails"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = _serve(H)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        path = fetch_to_staging(f"{base}/data.csv", retries=4, backoff=0.02,
+                                staging_dir=str(tmpdir_path))
+        with open(path, "rb") as f:
+            assert f.read() == payload
+        assert state["hits"] == 3                 # 2x503 then success
+        state["hits"] = 0
+        with _pytest.raises(urllib.error.HTTPError):
+            fetch_to_staging(f"{base}/gone", retries=4, backoff=0.02,
+                             staging_dir=str(tmpdir_path))
+        assert state["hits"] == 1                 # fail-fast, no retries
+        # retries exhausted -> RuntimeError chaining the last error
+        state["fails"] = 99
+        with _pytest.raises(RuntimeError, match="after 2 attempts"):
+            fetch_to_staging(f"{base}/data.csv", retries=1, backoff=0.02,
+                             staging_dir=str(tmpdir_path))
+    finally:
+        srv.shutdown()
+
+
+def test_http_resume_after_midstream_drop(tmpdir_path):
+    """A connection dropped mid-body resumes from the staged byte count
+    via a Range request (server honors it with 206); the staged file is
+    byte-identical to the full payload."""
+    import http.server
+
+    payload = b"id,name\n" + b"".join(
+        f"{i},n{i:04d}\n".encode() for i in range(2000))
+    state = {"drops": 1, "ranges": []}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            state["ranges"].append(rng)
+            start = int(rng.split("=")[1].rstrip("-")) if rng else 0
+            body = payload[start:]
+            self.send_response(206 if rng else 200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if state["drops"] > 0:
+                state["drops"] -= 1
+                self.wfile.write(body[: len(body) // 2])
+                self.wfile.flush()
+                self.connection.close()           # mid-body drop
+                return
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = _serve(H)
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/data.csv"
+        path = fetch_to_staging(url, retries=3, backoff=0.02,
+                                staging_dir=str(tmpdir_path))
+        with open(path, "rb") as f:
+            assert f.read() == payload
+        # second request carried a Range resume from the staged bytes
+        assert state["ranges"][0] is None
+        assert len(state["ranges"]) == 2
+        assert state["ranges"][1].startswith("bytes=")
+        assert int(state["ranges"][1][len("bytes="):-1]) > 0
+    finally:
+        srv.shutdown()
+
+
 def test_http_read_source_end_to_end(spark, tmpdir_path):
     src = f"{tmpdir_path}/data.csv"
     with open(src, "w") as f:
@@ -262,8 +374,13 @@ def test_snowflake_stage_roundtrip_and_mock(spark, tmpdir_path):
     # read scans the same stage path (distributed parquet)
     back = read_source(spark, SF_URL, options={"stage_dir": stage})
     assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
-    # no stage_dir -> the reference's deterministic 2-row mock sample
-    mock = read_source(spark, SF_URL)
+    # no stage_dir: the reference's 2-row mock sample requires an
+    # explicit opt-in — a missing/misspelled stage_dir must fail loudly,
+    # never silently feed fabricated data to a production job
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stage_dir"):
+        read_source(spark, SF_URL)
+    mock = read_source(spark, SF_URL, options={"mock": "true"})
     assert mock.count() == 2 and "created_at" in mock.columns
     c = parse_snowflake_url(SF_URL)
     assert "FROM SALES.PUBLIC.ORDERS" in unload_sql(c)

@@ -61,3 +61,20 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "url" in df.columns
+
+
+def test_registry_cache_lifecycle(spark):
+    """A long-lived session running the dedup/LSH family repeatedly must
+    hold zero persisted RDDs after the registry-level release_caches()
+    (round-5 verdict #8) — leaked caches pin executor memory forever on
+    a streaming driver."""
+    qs = entrymod.queries()
+    for name in ("dedup_minhash_jaccard", "simhash_near_dups"):
+        qs[name](spark, SF).count()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0, \
+            f"{name}: expected live caches while the query family is hot"
+    released = entrymod.release_caches()
+    assert released > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # idempotent: a second release finds nothing
+    assert entrymod.release_caches() == 0

@@ -339,6 +339,47 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(approx) == 30
 
 
+def test_ivf_kmeans_refinement_improves_recall(spark):
+    """Lloyd refinement (round-5 verdict #5) on a SKEWED synthetic where
+    the seed centroids are degenerate: ids 0..15 all sit inside one true
+    cluster, so seed-only IVF probes a sliver of the space; two
+    distributed k-means steps must spread the centroids toward the real
+    clusters and STRICTLY raise recall, with a hard floor above the
+    seed-only ceiling. Deterministic end to end (fixed jitter, rounded
+    means)."""
+    import random
+    rnd = random.Random(11)
+    dim, n_clusters, per = 8, 6, 60
+    rows = []
+    for c in range(n_clusters):
+        center = [10.0 if d == c else 0.0 for d in range(dim)]
+        for j in range(per):
+            vid = c * per + j
+            rows.append((vid, [center[d] + rnd.uniform(-0.5, 0.5)
+                               for d in range(dim)]))
+    # degenerate seeds: ids 0..15 are all cluster-0 members already
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(f"vec_id % {per} = 17")           # one query per cluster
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(df, q, k=10).collect()}
+
+    def recall(iters):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in S.ivf_topk(df, q, k=10, n_centroids=16, nprobe=2,
+                                   kmeans_iters=iters).collect()}
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 > r0, f"refinement did not improve recall: {r0} -> {r2}"
+    assert r2 >= 0.8, f"refined recall too low: {r2}"
+    # determinism: the refined run reproduces itself exactly
+    a = sorted(map(tuple, S.ivf_topk(df, q, k=10, n_centroids=16, nprobe=2,
+                                     kmeans_iters=2).collect()))
+    b = sorted(map(tuple, S.ivf_topk(df, q, k=10, n_centroids=16, nprobe=2,
+                                     kmeans_iters=2).collect()))
+    assert a == b
+
+
 def test_multimodal_resize_and_frame_sampling(spark):
     rows = [(1, "image", b"imgbytes-1"), (2, "video", b"vid-1"),
             (3, "image", None), (4, "audio", b"aud")]
@@ -463,6 +504,96 @@ def test_builtin_decoders_drive_spark_plumbing(spark):
         assert au["n_frames"] == 100 and au["channels"] == 1
     finally:
         for k in ("image", "audio", "image/resize"):
+            MM.DecoderRegistry._decoders.pop(k, None)
+
+
+def test_png_codec_all_filters_roundtrip():
+    """Pure-stdlib PNG decode reverses every scanline filter (0-4) for
+    every supported channel layout; stats and nearest-neighbor resize
+    agree with the raw pixels."""
+    import numpy as np
+    from tinyetl_spark.operators import media_codecs as MC
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for f in range(5):
+            w, h, c, out = MC.decode_png(MC.encode_png(px, filter_type=f))
+            assert (w, h, c) == (9, 13, ch)
+            assert np.array_equal(out, px), f"filter {f} ch {ch}"
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    b = MC.encode_png(px, filter_type=4)
+    s = MC.png_stats(b)
+    assert abs(s["mean_r"] - px[:, :, 0].mean()) < 1e-9
+    w, h, c, out = MC.decode_png(MC.resize_png(b, 4, 4))
+    assert (w, h, c) == (4, 4, 3)
+    # malformed payloads fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MC.decode_png(b"\x89PNGnope")
+    with _pytest.raises(ValueError):
+        MC.decode_png(b"P6 1 1 255 xxx")
+
+
+def test_mixed_format_images_through_spark_plumbing(spark):
+    """A payload column mixing PPM and PNG (the real-crawl shape) sniffs
+    per row inside ONE Arrow batch: features carry the right format tag,
+    resize emits each row in its own format."""
+    import numpy as np
+    from tinyetl_spark.operators import media_codecs as MC
+    ppm = MC.encode_ppm(np.full((4, 4, 3), 7, dtype=np.uint8))
+    png = MC.encode_png(np.full((6, 6, 3), 9, dtype=np.uint8),
+                        filter_type=2)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "image", bytearray(png))],
+        "media_id long, kind string, payload binary")
+    MM.register_builtin_decoders()
+    try:
+        feats = {r["media_id"]: r["feature"]
+                 for r in MM.extract_features(MM.attach_metadata(df)).collect()}
+        assert feats[1] == "ppm:4x4:mean=7.00/7.00/7.00"
+        assert feats[2] == "png:6x6:mean=9.00/9.00/9.00"
+        rz = {r["media_id"]: bytes(r["payload"])
+              for r in MM.resize_images(df, 2, 2).collect()}
+        w, h, _, rp = MC.decode_ppm(rz[1])
+        assert (w, h) == (2, 2) and (rp == 7).all()
+        w, h, c, gp = MC.decode_png(rz[2])
+        assert (w, h, c) == (2, 2, 3) and (gp == 9).all()
+    finally:
+        for k in ("image", "audio", "image/resize"):
+            MM.DecoderRegistry._decoders.pop(k, None)
+
+
+def test_pillow_codecs_when_available(spark):
+    """Optional-dependency path: with Pillow importable the registry
+    swaps in Image.open-backed decoders (JPEG/WebP/... coverage); absent
+    Pillow the call is a no-op returning False and the dependency-free
+    codecs stay in charge."""
+    import pytest as _pytest
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert MM.register_pillow_codecs() is False
+        assert "image" not in MM.DecoderRegistry._decoders
+        _pytest.skip("Pillow not installed — no-op contract verified")
+    import io
+
+    import numpy as np
+    from PIL import Image
+    assert MM.register_pillow_codecs() is True
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(np.full((4, 4, 3), 7, dtype=np.uint8)).save(
+            buf, format="JPEG")
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(buf.getvalue()))],
+            "media_id long, kind string, payload binary")
+        feats = MM.extract_features(MM.attach_metadata(df)).collect()
+        assert feats[0]["feature"].startswith("jpeg:4x4:mean=")
+    finally:
+        for k in ("image", "image/resize"):
             MM.DecoderRegistry._decoders.pop(k, None)
 
 

@@ -81,6 +81,13 @@ def test_ts_range_read_prunes_files_and_filters_rows(spark, tmpdir_path):
                full.filter((F.col("warc_ts") >= F.lit(ts(9)))
                            & (F.col("warc_ts") <= F.lit(ts(11)))).collect())
     assert a == b
+    # epoch-µs int bounds: accepted by the PRUNER but formerly crashed
+    # the residual row filter with DATATYPE_MISMATCH (round-5 advice) —
+    # must now work end-to-end and agree with the datetime window
+    win_us = t.read(ts_range=(_us(9), _us(11)))
+    assert sorted((r["url"], r["event_seq"]) for r in win_us.collect()) == a
+    assert t.read(ts_range=(_us(15), None)).count() == 30
+    assert t.read(ts_range=(None, _us(2))).count() == 30
 
 
 def test_ts_range_correct_with_mor_deltas(spark, tmpdir_path):

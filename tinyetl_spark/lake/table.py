@@ -363,11 +363,18 @@ class LakeTable:
         if not include_tombstones and "_deleted" in names:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if ts_range is not None and "warc_ts" in names:
+            # normalize like the pruner's _to_us: int bounds are epoch-µs
+            # (a raw int literal against a TIMESTAMP column is an
+            # AnalysisException — pruning accepting ints while the
+            # residual filter crashed on them was a round-5 advice fix)
+            def _ts_lit(v):
+                return (F.timestamp_micros(F.lit(_to_us(v)))
+                        if not hasattr(v, "timestamp") else F.lit(v))
             lo, hi = ts_range
             if lo is not None:
-                df = df.filter(F.col("warc_ts") >= F.lit(lo))
+                df = df.filter(F.col("warc_ts") >= _ts_lit(lo))
             if hi is not None:
-                df = df.filter(F.col("warc_ts") <= F.lit(hi))
+                df = df.filter(F.col("warc_ts") <= _ts_lit(hi))
         return df
 
     def read_changes(self, start_version: int,

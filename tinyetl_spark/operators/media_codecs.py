@@ -85,6 +85,162 @@ def ppm_stats(b: bytes) -> dict:
             "mean_b": float(means[2])}
 
 
+# --------------------------------------------------------------------- PNG
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}      # gray, rgb, gray+a, rgba
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-stdlib PNG decoder (zlib inflate + the five scanline filters,
+    RFC 2083): 8-bit-depth gray/RGB/RGBA, non-interlaced. Returns
+    (width, height, channels, pixels[h, w, channels] uint8).
+
+    This is the correctness fallback that makes a REAL web format
+    decodable with zero optional dependencies; a production crawl
+    pipeline registers Pillow via ``multimodal.register_pillow_codecs``
+    (SIMD libpng) and this path never runs hot. Filters 1/3/4 carry a
+    per-pixel dependency chain, so those rows decode in a Python loop —
+    fine for fixtures, documented slow for bulk."""
+    import zlib
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        length = struct.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length                        # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit depth supported, got {depth}")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"palette/unknown color type {color} not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:                                # None
+            cur = line
+        elif f == 2:                              # Up — vectorizes
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):                      # Sub / Average / Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                up = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (up if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, channels, out.reshape(h, w, channels)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode [h, w, channels] uint8 as a non-interlaced 8-bit PNG.
+    ``filter_type`` applies ONE filter to every scanline (0/1/2/3/4) —
+    the non-zero settings exist so tests can prove the decoder reverses
+    each filter, not for compression quality."""
+    import zlib
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, channels = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    px = pixels.astype(np.int32)
+    stride = w * channels
+    flat = px.reshape(h, stride)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(channels, np.int32),
+                               cur[:-channels]]) if stride > channels \
+            else np.zeros(stride, np.int32)
+        upleft = np.concatenate([np.zeros(channels, np.int32),
+                                 prev[:-channels]]) if stride > channels \
+            else np.zeros(stride, np.int32)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8)
+                     .tobytes())
+        prev = cur
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+            + chunk(b"IEND", b""))
+
+
+def png_stats(b: bytes) -> dict:
+    """Dimensions + exact per-channel means (mirrors ``ppm_stats``)."""
+    w, h, channels, px = decode_png(b)
+    flat = px.reshape(-1, channels).astype(np.float64)
+    means = flat.mean(axis=0)
+    rgb = list(means[:3]) if channels >= 3 else [float(means[0])] * 3
+    return {"width": w, "height": h, "channels": channels,
+            "mean_r": float(rgb[0]), "mean_g": float(rgb[1]),
+            "mean_b": float(rgb[2])}
+
+
+def resize_png(b: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize, PNG in → PNG out (same index map as
+    ``resize_ppm``)."""
+    w, h, channels, px = decode_png(b)
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int),
+                    h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int),
+                    w - 1)
+    return encode_png(px[ys][:, xs])
+
+
 # --------------------------------------------------------------------- WAV
 
 

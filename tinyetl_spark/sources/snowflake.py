@@ -106,8 +106,17 @@ def read_snowflake(spark: SparkSession, url: str,
     options = dict(options or {})
     conn = parse_snowflake_url(url)
     stage_dir = options.pop("stage_dir", None)
+    mock = str(options.pop("mock", "")).lower() in ("1", "true", "yes")
     if not stage_dir:
-        return _mock_sample(spark)
+        # fabricated data must be OPT-IN (round-5 advice): a production
+        # job with a misspelled/missing stage_dir should fail loudly, not
+        # silently analyze the 2-row reference-parity sample
+        if mock:
+            return _mock_sample(spark)
+        raise ValueError(
+            "snowflake source needs a stage_dir option (a path both the "
+            "cluster and Snowflake can reach); pass mock='true' to get "
+            "the reference-parity 2-row sample frame instead")
     return spark.read.options(**options).parquet(_stage_path(stage_dir, conn))
 
 
