@@ -115,11 +115,27 @@ def run_probe(cores: int) -> float:
     return round(time.time() - t0, 3)
 
 
-def probe_subprocess(cores: int, env: dict) -> float:
+def _cpuset(cores: int, label: str | None = None) -> str:
+    """CPU range to pin a `cores`-wide run to. Default 0..cores-1;
+    overridable per level (SPARK_GRAFT_BENCH_CPUSET_LOW/_HIGH, e.g.
+    "8-9") because the host pathology is RANGE-local — a day when cpus
+    0-1 are chronically degraded while 8-15 probe clean (observed round
+    5) starves the low level of clean slots forever. Pinning both levels
+    to healthy ranges measures the engine, not the hypervisor's sick
+    vCPUs; the probe gate always runs on the SAME range it gates."""
+    if label:
+        v = os.environ.get(f"SPARK_GRAFT_BENCH_CPUSET_{label.upper()}")
+        if v:
+            return v
+    return f"0-{cores - 1}"
+
+
+def probe_subprocess(cores: int, env: dict,
+                     cpuset: str | None = None) -> float:
     cmd = [sys.executable, os.path.abspath(__file__), "--probe",
            "--cores", str(cores)]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", cpuset or f"0-{cores - 1}"] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -153,7 +169,7 @@ def save_probe_calib(calib: dict) -> None:
 
 def gated_probe(cores: int, env: dict, calib: dict,
                 factor: float, retries: int,
-                attempts_log: list) -> bool:
+                attempts_log: list, cpuset: str | None = None) -> bool:
     """Clean-phase gate (VERDICT r3 #2): before a measured round, run the
     fixed-work probe; if its wall time exceeds ``factor`` x the best ever
     seen at this core count (session + persisted calibration), the host
@@ -164,7 +180,7 @@ def gated_probe(cores: int, env: dict, calib: dict,
     exhausted — it is then reported as an ungated round."""
     key = str(cores)
     for attempt in range(retries + 1):
-        s = probe_subprocess(cores, env)
+        s = probe_subprocess(cores, env, cpuset)
         best = calib.get(key)
         calib[key] = min(best, s) if best is not None else s
         save_probe_calib(calib)
@@ -1036,7 +1052,7 @@ def main() -> None:
                "--cores", str(cores), "--log", shared_log,
                "--ctrl", ctrl, "--rounds", str(n_rounds)]
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            cmd = ["taskset", "-c", _cpuset(cores, label)] + cmd
         p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
                              stderr=subprocess.DEVNULL, env=env, cwd=REPO,
                              start_new_session=True)
@@ -1096,7 +1112,8 @@ def main() -> None:
                 if over and samples[label]:
                     continue
                 clean = gated_probe(cores, env, calib, gate_factor,
-                                    gate_retries, probe_attempts)
+                                    gate_retries, probe_attempts,
+                                    cpuset=_cpuset(cores, label))
                 if not clean and samples[label] and not over:
                     skipped[label] += 1
                     print(f"  {label}@local[{cores}]: degraded probe — "

@@ -213,6 +213,11 @@ def test_cli_preview_and_dry_run_write_nothing(tmpdir_path):
     post = p.stdout.index("output schema:")
     assert "up" not in p.stdout[pre:post]          # raw schema lacks derived col
     assert "up" in p.stdout[post:]                 # transformed schema has it
+    # reference-formatted data grid (transfer.rs:242-336): box borders +
+    # a Data Preview header + 15-char cells
+    assert "Data Preview (2 rows):" in p.stdout
+    assert "┌" in p.stdout and "┴" in p.stdout
+    assert "│ Column              │ Type          │ Nullable │" in p.stdout
     assert not os.path.exists(dst)
     p = run_cli("transfer", src, dst, "--dry-run",
                 "--transform", "up = upper(name)")

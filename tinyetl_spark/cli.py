@@ -85,12 +85,15 @@ def cmd_run(cfg: JobConfig) -> int:
 
     if cfg.preview:
         # the reference prints both the source schema and the
-        # post-transform schema (transfer.rs:201-316)
+        # post-transform schema, then a fixed-width data grid
+        # (transfer.rs:201-336) — rendered in the same box format
+        from tinyetl_spark.render import data_grid, schema_grid
         print("source schema:")
-        raw.printSchema()
+        print(schema_grid(raw))
         print("output schema:")
-        df.printSchema()
-        df.show(cfg.preview, truncate=40)
+        print(schema_grid(df))
+        print(f"\nData Preview ({cfg.preview} rows):")
+        print(data_grid(df, cfg.preview))
         return 0
     if cfg.dry_run:
         # connect both ends, resolve schema, 10-row transform smoke, zero
