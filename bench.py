@@ -1029,7 +1029,10 @@ def main() -> None:
     cmd = [sys.executable, os.path.abspath(__file__), "--gen-log",
            "--cores", "8", "--out", shared_log]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", "0-7"] + cmd
+        # unmeasured setup, but run it on the HIGH level's (healthy)
+        # range — a hardcoded 0-7 pin once spent minutes faulting on a
+        # chronically degraded range before any measurement began
+        cmd = ["taskset", "-c", _cpuset(8, "high")] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     if not any(ln.startswith("{") for ln in p.stdout.splitlines()):
         print(p.stderr[-2000:], file=sys.stderr)
