@@ -475,7 +475,7 @@ def run_commit_cost_subprocess(env: dict) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--commit-cost",
            "--cores", str(cores)]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", _cpuset(cores, "high")] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -491,7 +491,12 @@ def run_metadata_cost_subprocess(env: dict) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--metadata-cost",
            "--cores", str(cores)]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        # honor the high-level cpuset pin: the default 0..N-1 range can
+        # be the chronically degraded one (observed round 5)
+        hi = os.environ.get("SPARK_GRAFT_BENCH_CPUSET_HIGH")
+        cmd = ["taskset", "-c",
+               (hi.split("-")[0] + f"-{int(hi.split('-')[0]) + cores - 1}"
+                if hi and "-" in hi else f"0-{cores - 1}")] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -1022,22 +1027,36 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_term)
 
     # the event log every round replays is identical by construction —
-    # generate it ONCE (setup, unmeasured) and share it read-only
-    shared_log = os.path.join(_fast_tmp() or tempfile.gettempdir(),
-                              "tinyetl_shared_log")
-    shutil.rmtree(shared_log, ignore_errors=True)
-    cmd = [sys.executable, os.path.abspath(__file__), "--gen-log",
-           "--cores", "8", "--out", shared_log]
-    if shutil.which("taskset"):
-        # unmeasured setup, but run it on the HIGH level's (healthy)
-        # range — a hardcoded 0-7 pin once spent minutes faulting on a
-        # chronically degraded range before any measurement began
-        cmd = ["taskset", "-c", _cpuset(8, "high")] + cmd
-    p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
-    if not any(ln.startswith("{") for ln in p.stdout.splitlines()):
-        print(p.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError("gen-log subprocess failed")
-    print(f"  shared log ready at {shared_log}", file=sys.stderr)
+    # generate it ONCE (setup, unmeasured) and share it read-only.
+    # SPARK_GRAFT_BENCH_LOG points at a PRE-generated copy of the same
+    # deterministic log (pure function of seed/n/partitions): reusing it
+    # skips the ~15-min gen phase so an invocation fits inside a short
+    # clean host window; the caller owns that directory's lifecycle.
+    saved_log = os.environ.get("SPARK_GRAFT_BENCH_LOG")
+    reused_log = bool(saved_log and os.path.isdir(saved_log)
+                      and os.path.exists(os.path.join(saved_log,
+                                                      "_SUCCESS")))
+    if reused_log:
+        shared_log = saved_log
+        print(f"  reusing pre-generated log at {shared_log}",
+              file=sys.stderr)
+    else:
+        shared_log = os.path.join(_fast_tmp() or tempfile.gettempdir(),
+                                  "tinyetl_shared_log")
+        shutil.rmtree(shared_log, ignore_errors=True)
+        cmd = [sys.executable, os.path.abspath(__file__), "--gen-log",
+               "--cores", "8", "--out", shared_log]
+        if shutil.which("taskset"):
+            # unmeasured setup, but run it on the HIGH level's (healthy)
+            # range — a hardcoded 0-7 pin once spent minutes faulting on
+            # a chronically degraded range before any measurement began
+            cmd = ["taskset", "-c", _cpuset(8, "high")] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd=REPO)
+        if not any(ln.startswith("{") for ln in p.stdout.splitlines()):
+            print(p.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError("gen-log subprocess failed")
+        print(f"  shared log ready at {shared_log}", file=sys.stderr)
 
     # One LONG-LIVED round server per level (started sequentially, then
     # frozen). The parent interleaves rounds across levels by
@@ -1149,7 +1168,8 @@ def main() -> None:
             except ProcessLookupError:
                 pass
         shutil.rmtree(ctrl, ignore_errors=True)
-    shutil.rmtree(shared_log, ignore_errors=True)   # free the tmpfs RAM
+    if not reused_log:
+        shutil.rmtree(shared_log, ignore_errors=True)  # free the tmpfs RAM
 
     result = _build_result()
     _write_partial(result)
@@ -1162,7 +1182,8 @@ def main() -> None:
         # window can't stretch the invocation past the external cap:
         # queries first (the judge's headline table), costs after.
         st["queries_probe_clean"] = gated_probe(
-            8, env, calib, gate_factor, 0, probe_attempts)
+            8, env, calib, gate_factor, 0, probe_attempts,
+            cpuset=_cpuset(8, "high"))
         st["queries"] = run_queries(SF_DIR, CPUS)
         _write_partial(_build_result())
         if time.time() < deadline:
