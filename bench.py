@@ -123,11 +123,59 @@ def _cpuset(cores: int, label: str | None = None) -> str:
     5) starves the low level of clean slots forever. Pinning both levels
     to healthy ranges measures the engine, not the hypervisor's sick
     vCPUs; the probe gate always runs on the SAME range it gates."""
+    return _candidates(cores, label)[0]
+
+
+def _candidates(cores: int, label: str | None = None) -> list[str]:
+    """Candidate CPU ranges for a level, first = preferred. The env var
+    accepts a comma-separated list ("24-25,26-27,28-29") because the
+    host pathology MIGRATES between core pairs within minutes (observed:
+    cpus 24-25 probed 0.82s then 10.8s ten minutes later while 26-27
+    probed 0.82s in the same minute) — a static pin starves a level the
+    moment its range goes sick, so the scheduler probes candidates in
+    order each slot and re-pins the level's live process tree to the
+    first clean one."""
     if label:
         v = os.environ.get(f"SPARK_GRAFT_BENCH_CPUSET_{label.upper()}")
         if v:
-            return v
-    return f"0-{cores - 1}"
+            return [r.strip() for r in v.split(",") if r.strip()]
+    return [f"0-{cores - 1}"]
+
+
+def _descendant_pids(root: int) -> list[int]:
+    """root + all live descendant pids, from /proc ppid ancestry."""
+    import glob
+    parent: dict[int, int] = {}
+    for sd in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(sd) as f:
+                head, tail = f.read().rsplit(")", 1)
+            parent[int(head.split(" ", 1)[0])] = int(tail.split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+    out = []
+    for pid in parent:
+        p = pid
+        for _ in range(64):
+            if p == root:
+                out.append(pid)
+                break
+            p = parent.get(p, 0)
+            if p <= 1:
+                break
+    return out
+
+
+def _repin_tree(root: int, rng: str) -> None:
+    """Re-pin every thread of a live server tree (JVM + python workers)
+    to a new CPU range — taskset -ap covers all tasks of each pid;
+    workers spawned later inherit from their re-pinned parent."""
+    if not shutil.which("taskset"):
+        return
+    for pid in _descendant_pids(root):
+        subprocess.run(["taskset", "-apc", rng, str(pid)],
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
 
 
 def probe_subprocess(cores: int, env: dict,
@@ -470,12 +518,12 @@ def run_metadata_cost(cores: int) -> dict:
         spark.stop()
 
 
-def run_commit_cost_subprocess(env: dict) -> dict:
+def run_commit_cost_subprocess(env: dict, cpuset: str | None = None) -> dict:
     cores = 8
     cmd = [sys.executable, os.path.abspath(__file__), "--commit-cost",
            "--cores", str(cores)]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", _cpuset(cores, "high")] + cmd
+        cmd = ["taskset", "-c", cpuset or _cpuset(cores, "high")] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -486,17 +534,15 @@ def run_commit_cost_subprocess(env: dict) -> dict:
     return res
 
 
-def run_metadata_cost_subprocess(env: dict) -> dict:
+def run_metadata_cost_subprocess(env: dict, cpuset: str | None = None) -> dict:
     cores = 4
     cmd = [sys.executable, os.path.abspath(__file__), "--metadata-cost",
            "--cores", str(cores)]
     if shutil.which("taskset"):
-        # honor the high-level cpuset pin: the default 0..N-1 range can
-        # be the chronically degraded one (observed round 5)
-        hi = os.environ.get("SPARK_GRAFT_BENCH_CPUSET_HIGH")
-        cmd = ["taskset", "-c",
-               (hi.split("-")[0] + f"-{int(hi.split('-')[0]) + cores - 1}"
-                if hi and "-" in hi else f"0-{cores - 1}")] + cmd
+        # honor the high-level range (possibly wider than `cores`: fine
+        # for a tail diagnostic) — the default 0..N-1 range can be the
+        # chronically degraded one (observed round 5)
+        cmd = ["taskset", "-c", cpuset or _cpuset(cores, "high")] + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -889,6 +935,23 @@ def main() -> None:
     probe_backoff = int(os.environ.get("SPARK_GRAFT_PROBE_BACKOFF", "20"))
     calib = load_probe_calib()
     probe_attempts: list = []
+    # --- work-clean gate: the pre-round probe cannot see a pathology
+    # episode that STARTS mid-round (observed: probe 0.897s clean, then
+    # the 400s round it gated burned 636 core-seconds for work whose
+    # measured floor is 193). Every round replays the identical event
+    # log, so its core-seconds is a work-invariant: inflation beyond
+    # WORK_FACTOR x the per-level floor is host-side fault stalls
+    # accrued DURING the round (kernel system time), and utilization
+    # collapse (wall x cores >> cpu) is hypervisor steal. Both gate the
+    # round itself, not a proxy before it. Floors seeded from the min
+    # ever measured (BENCH/history.jsonl), self-tightening downward.
+    work_factor = float(os.environ.get("SPARK_GRAFT_WORK_FACTOR", "1.35"))
+    util_floor = float(os.environ.get("SPARK_GRAFT_UTIL_FLOOR", "0.85"))
+    cpu_floor: dict[int, float] = {2: 193.3, 8: 223.7}
+    for k in list(cpu_floor):
+        v = os.environ.get(f"SPARK_GRAFT_CPU_FLOOR_{k}")
+        if v:
+            cpu_floor[k] = float(v)
 
     # --- invocation-wide wall budget + kill-safe result snapshotting ---
     # Round 4's invocation was killed by the driver's EXTERNAL wall cap
@@ -925,7 +988,7 @@ def main() -> None:
                 med[lbl] = round(statistics.median(
                     r["events_per_sec"] for r in rs), 1)
                 cl = [r["events_per_sec"] for r in rs
-                      if r.get("probe_clean")]
+                      if r.get("round_clean", r.get("probe_clean"))]
                 med_gated[lbl] = (round(statistics.median(cl), 1)
                                   if cl else None)
                 med_cpu[lbl] = round(statistics.median(
@@ -962,9 +1025,14 @@ def main() -> None:
                 "low": scaling.get("low"), "high": scaling.get("high"),
                 "rounds_eps": {lbl: [r["events_per_sec"] for r in rs]
                                for lbl, rs in samples.items()},
-                "rounds_clean": {lbl: [bool(r.get("probe_clean"))
+                "rounds_clean": {lbl: [bool(r.get("round_clean",
+                                             r.get("probe_clean")))
                                        for r in rs]
                                  for lbl, rs in samples.items()},
+                "work_gate": {"factor": work_factor,
+                              "util_floor": util_floor,
+                              "cpu_floor": {str(k): v for k, v
+                                            in cpu_floor.items()}},
                 "median_eps": med,
                 "median_eps_gated": med_gated,
                 "efficiency": eff_median,
@@ -975,10 +1043,13 @@ def main() -> None:
                           "attempts": probe_attempts,
                           "best": dict(calib)},
                 "estimator": "median of completed interleaved rounds per "
-                             f"level (target {rounds}), clean-phase gated; "
-                             "degraded-probe slots are deferred/skipped "
-                             "(every probe attempt recorded) unless a "
-                             "level would otherwise have no rounds",
+                             f"level (target {rounds} clean), gated on "
+                             "probe (pre-round host phase) AND work "
+                             "(round's own core-seconds vs per-level "
+                             "floor + utilization vs steal) — identical "
+                             "work per round makes core-seconds a "
+                             "work-invariant; dirty rounds are re-queued "
+                             "into spare slots, never dropped",
                 "cpu_seconds_median": med_cpu,
                 "utilization_median": med_util,
                 "cpu_inflation_high_vs_low": cpu_inflation,
@@ -1111,14 +1182,27 @@ def main() -> None:
     # metadata tail phases still fit inside the invocation budget even
     # when every probe is degraded.
     sched_deadline = deadline - tail_reserve
+    # spare server go-slots: a round the work gate flags dirty is
+    # re-queued (identical work, deferred — never dropped), so each
+    # level's server carries capacity for target + spares
+    spare = int(os.environ.get("SPARK_GRAFT_BENCH_SPARE", "3"))
     try:
-        servers["low"] = _start_server("low", low_c, rounds)
-        servers["high"] = _start_server("high", high_c, high_rounds)
+        servers["low"] = _start_server("low", low_c, rounds * spare)
+        servers["high"] = _start_server("high", high_c,
+                                        high_rounds * spare)
         nxt = {"low": 0, "high": 0}
-        cap = {"low": rounds, "high": high_rounds}
+        cur_rng = {"low": _cpuset(low_c, "low"),
+                   "high": _cpuset(high_c, "high")}
+        cap = {"low": rounds * spare, "high": high_rounds * spare}
+        target = {"low": rounds, "high": high_rounds}
         cores_of = {"low": low_c, "high": high_c}
+
+        def _clean_n(lbl: str) -> int:
+            return sum(1 for r in samples[lbl] if r.get("round_clean"))
+
         while True:
-            pending = [l for l in ("low", "high") if nxt[l] < cap[l]]
+            pending = [l for l in ("low", "high")
+                       if _clean_n(l) < target[l] and nxt[l] < cap[l]]
             if not pending:
                 break
             over = time.time() > sched_deadline
@@ -1133,9 +1217,21 @@ def main() -> None:
                 cores = cores_of[label]
                 if over and samples[label]:
                     continue
-                clean = gated_probe(cores, env, calib, gate_factor,
-                                    gate_retries, probe_attempts,
-                                    cpuset=_cpuset(cores, label))
+                # probe candidate ranges in order; run the round on the
+                # first clean one, re-pinning the level's live server
+                # tree when it differs from the range it currently
+                # occupies (the pathology migrates between core pairs)
+                clean = False
+                for rng in _candidates(cores, label):
+                    clean = gated_probe(cores, env, calib, gate_factor,
+                                        0, probe_attempts, cpuset=rng)
+                    if clean:
+                        if rng != cur_rng[label]:
+                            _repin_tree(servers[label].pid, rng)
+                            cur_rng[label] = rng
+                            print(f"  {label} server re-pinned to {rng}",
+                                  file=sys.stderr)
+                        break
                 if not clean and samples[label] and not over:
                     skipped[label] += 1
                     print(f"  {label}@local[{cores}]: degraded probe — "
@@ -1145,6 +1241,14 @@ def main() -> None:
                 res = _server_round(label, cores, nxt[label])
                 nxt[label] += 1
                 res["probe_clean"] = clean
+                cs = float(res.get("cpu_seconds") or 0.0)
+                if cs and cs < cpu_floor.get(cores, cs + 1):
+                    cpu_floor[cores] = cs
+                work_clean = bool(
+                    cs and cs <= work_factor * cpu_floor[cores]
+                    and float(res.get("utilization") or 0.0) >= util_floor)
+                res["work_clean"] = work_clean
+                res["round_clean"] = clean and work_clean
                 print(f"  cdc@local[{cores}]: {res}", file=sys.stderr)
                 samples[label].append(res)
                 if label not in scaling or res["events_per_sec"] > \
@@ -1181,19 +1285,22 @@ def main() -> None:
         # handler prints the snapshot). Deadline-checked so a degraded
         # window can't stretch the invocation past the external cap:
         # queries first (the judge's headline table), costs after.
+        tail_rng = cur_rng["high"]
         st["queries_probe_clean"] = gated_probe(
             8, env, calib, gate_factor, 0, probe_attempts,
-            cpuset=_cpuset(8, "high"))
+            cpuset=tail_rng)
         st["queries"] = run_queries(SF_DIR, CPUS)
         _write_partial(_build_result())
         if time.time() < deadline:
-            st["commit_cost"] = run_commit_cost_subprocess(env)
+            st["commit_cost"] = run_commit_cost_subprocess(
+                env, cpuset=tail_rng)
             _write_partial(_build_result())
         else:
             print("  budget spent — skipping commit-cost phase",
                   file=sys.stderr)
         if time.time() < deadline:
-            st["metadata_cost"] = run_metadata_cost_subprocess(env)
+            st["metadata_cost"] = run_metadata_cost_subprocess(
+                env, cpuset=tail_rng)
         else:
             print("  budget spent — skipping metadata-cost phase",
                   file=sys.stderr)
