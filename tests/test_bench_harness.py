@@ -1,0 +1,78 @@
+"""Unit tests for bench.py's host-phase gating helpers — pure logic,
+no Spark session. The bench is a graded deliverable: its candidate-range
+parsing, descendant-tree walk and work-clean arithmetic must not regress
+silently (a wrong gate either poisons the efficiency record with
+degraded rounds or starves it of clean ones)."""
+
+import importlib.util
+import os
+import subprocess
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_candidates_default_is_zero_based_range(bench, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_CPUSET_LOW", raising=False)
+    assert bench._candidates(2, "low") == ["0-1"]
+    assert bench._cpuset(2, "low") == "0-1"
+
+
+def test_candidates_parse_comma_list(bench, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CPUSET_LOW",
+                       "26-27, 28-29,30-31 ,")
+    assert bench._candidates(2, "low") == ["26-27", "28-29", "30-31"]
+    # _cpuset (used for server start + gen-log pins) takes the preferred
+    # first candidate, never the raw comma string (taskset would reject
+    # "a-b,c-d" only as a *range* pair; the first candidate is always a
+    # valid single range)
+    assert bench._cpuset(2, "low") == "26-27"
+
+
+def test_descendant_pids_and_repin(bench):
+    p = subprocess.Popen(["bash", "-c", "sleep 3 & sleep 3"],
+                         start_new_session=True)
+    try:
+        time.sleep(0.3)
+        pids = bench._descendant_pids(p.pid)
+        assert p.pid in pids and len(pids) >= 2
+        bench._repin_tree(p.pid, "0-1")
+        for pid in bench._descendant_pids(p.pid):
+            assert os.sched_getaffinity(pid) == {0, 1}
+    finally:
+        p.terminate()
+        p.wait()
+
+
+def test_descendant_pids_excludes_strangers(bench):
+    # PID 1's tree is not ours
+    assert os.getpid() in bench._descendant_pids(os.getpid())
+    assert 1 not in bench._descendant_pids(os.getpid())
+
+
+def test_work_clean_arithmetic():
+    """The gate the scheduler applies: cpu_seconds <= factor * floor AND
+    utilization >= util_floor. Mirrors the inline logic in main() — the
+    observed degraded round (663 cpu-s vs 193 floor, util 0.772) must be
+    dirty, the historical clean rounds (193-225 cpu-s, util ~0.97) clean."""
+    factor, util_floor, floor = 1.35, 0.85, 193.3
+
+    def work_clean(cs, util):
+        return bool(cs and cs <= factor * floor and util >= util_floor)
+
+    assert work_clean(193.3, 0.974)
+    assert work_clean(225.0, 0.95)
+    assert not work_clean(663.1, 0.772)      # observed degraded round
+    assert not work_clean(636.4, 0.789)      # observed degraded round
+    assert not work_clean(300.0, 0.97)       # cpu inflated, util fine
+    assert not work_clean(200.0, 0.70)       # steal: util collapsed
+    assert not work_clean(0.0, 1.0)          # no cpu sample -> dirty
