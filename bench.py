@@ -139,7 +139,13 @@ def _candidates(cores: int, label: str | None = None) -> list[str]:
         v = os.environ.get(f"SPARK_GRAFT_BENCH_CPUSET_{label.upper()}")
         if v:
             return [r.strip() for r in v.split(",") if r.strip()]
-    return [f"0-{cores - 1}"]
+    # default: up to 4 aligned cores-wide ranges spanning the machine,
+    # so an invocation with no env overrides (e.g. the driver's) can
+    # still hop off a sick range
+    ncpu = os.cpu_count() or cores
+    step = max(cores, ncpu // 4)
+    out = [f"{i}-{i + cores - 1}" for i in range(0, ncpu - cores + 1, step)]
+    return out or [f"0-{cores - 1}"]
 
 
 def _descendant_pids(root: int) -> list[int]:

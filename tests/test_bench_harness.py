@@ -21,10 +21,27 @@ def bench():
     return mod
 
 
-def test_candidates_default_is_zero_based_range(bench, monkeypatch):
+def test_candidates_default_spans_machine(bench, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_CPUSET_LOW", raising=False)
-    assert bench._candidates(2, "low") == ["0-1"]
+    cands = bench._candidates(2, "low")
+    # preferred first range is 0-based; with no env override the list
+    # spans the machine in up to 4 aligned strides so an invocation
+    # with default env can still hop off a sick range
+    assert cands[0] == "0-1"
+    assert 1 <= len(cands) <= 4
+    ncpu = os.cpu_count() or 2
+    if ncpu >= 8:
+        assert len(cands) == 4
     assert bench._cpuset(2, "low") == "0-1"
+
+
+def test_candidates_default_wide_level(bench, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_CPUSET_HIGH", raising=False)
+    cands = bench._candidates(8, "high")
+    assert cands[0] == "0-7"
+    for rng in cands:
+        lo, hi = map(int, rng.split("-"))
+        assert hi - lo == 7
 
 
 def test_candidates_parse_comma_list(bench, monkeypatch):
