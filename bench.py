@@ -848,6 +848,18 @@ Sandbox hazards found, reproduced, and mitigated:
   work/local dirs; JVM heap pre-touched (-Xms -XX:+AlwaysPreTouch);
 - upper-half threads of the VM show bimodal 2-4x degradation episodes;
   all measured levels stay on the lower half, best-of-N interleaved.
+- (round 5) the episodes are PER-CPU-PAIR and MIGRATE within minutes
+  (cpus 24-25 probed 0.82s, then 10.8s ten minutes later, while 26-27
+  probed 0.82s in the same minute) -> per-slot candidate-range probing
+  with live re-pin of the level's whole server tree (taskset -apc);
+  and a pre-round probe cannot see an episode that STARTS mid-round
+  (observed: probe 0.897s clean, the 400s round it gated burned 663
+  core-seconds against a 193 floor) -> the WORK GATE: every round
+  replays the identical event log, so its core-seconds is a
+  work-invariant — a round above 1.35x the per-level floor (min ever
+  measured, self-tightening) or below 0.85 utilization (steal) is
+  flagged dirty and re-queued into spare server slots; the gated
+  median uses only work-clean rounds, every attempt stays recorded.
 - the episodes are ASYMMETRIC (they only slow runs down) and hit higher
   concurrency far more often: across many invocations 2-core rounds
   spread 106-117k events/s while 8-core rounds spread 255-383k. Both
