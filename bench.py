@@ -27,6 +27,47 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Well-known location of the once-generated CDC event log (tmpfs). The
+# log is a pure function of (seed, n_events, num_partitions); a
+# _PARAMS.json stamp written at gen time lets any later invocation —
+# including the driver's, which sets no env vars — verify the cached
+# copy matches ITS parameters before reusing it and skipping the
+# ~15-min gen phase.
+SAVED_LOG_DEFAULT = "/dev/shm/tinyetl_log_saved"
+
+
+def _expected_log_params() -> dict:
+    """The gen-log parameters this invocation would use (cheap: parquet
+    footer metadata only, no Spark)."""
+    import pyarrow.parquet as pq
+    n_base = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.num_rows
+    n_events = n_base * 160
+    return {"seed": 42, "n_events": n_events,
+            "n_urls": max(n_events // 20, 100), "num_partitions": 8,
+            "segment_partitions": 128, "sf_events_rows": n_base}
+
+
+def _resolve_saved_log() -> str | None:
+    """Path of a reusable pre-generated event log, or None. An explicit
+    SPARK_GRAFT_BENCH_LOG is trusted as-is (caller owns it); the default
+    path is reused only when complete (_SUCCESS) AND its _PARAMS.json
+    stamp matches this invocation's parameters."""
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_LOG")
+    if explicit:
+        if (os.path.isdir(explicit)
+                and os.path.exists(os.path.join(explicit, "_SUCCESS"))):
+            return explicit
+        return None
+    d = SAVED_LOG_DEFAULT
+    try:
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            return None
+        with open(os.path.join(d, "_PARAMS.json")) as f:
+            stamp = json.load(f)
+        return d if stamp == _expected_log_params() else None
+    except (OSError, ValueError):
+        return None
+
 HEADLINE = [
     "cdc_lww_latest", "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_suppliers", "q_events_windowed", "text_profile",
@@ -880,7 +921,23 @@ identical plan fans out across executors.
 """
 
 
+_KNOWN_FLAGS = {"--cdc-only", "--gen-log", "--cdc-server", "--commit-cost",
+                "--probe", "--metadata-cost", "--scaling-only", "--cores",
+                "--log", "--ctrl", "--rounds", "--out"}
+
+
 def main() -> None:
+    # fail fast on --help or any unrecognized flag: an unknown flag
+    # falling through here silently starts a FULL ~45-min benchmark run
+    # (observed: `bench.py --help` launched one)
+    unknown = [a for a in sys.argv[1:]
+               if a.startswith("-") and a not in _KNOWN_FLAGS]
+    if unknown or "-h" in sys.argv:
+        print(__doc__)
+        print("modes: (none)=full run | --scaling-only | "
+              "--probe/--cdc-only/--gen-log/--cdc-server/--commit-cost/"
+              "--metadata-cost (workers, need --cores etc.)")
+        sys.exit(0 if ("--help" in unknown or "-h" in sys.argv) else 2)
     if "--cdc-only" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         log_dir = (sys.argv[sys.argv.index("--log") + 1]
@@ -1121,17 +1178,18 @@ def main() -> None:
     # deterministic log (pure function of seed/n/partitions): reusing it
     # skips the ~15-min gen phase so an invocation fits inside a short
     # clean host window; the caller owns that directory's lifecycle.
-    saved_log = os.environ.get("SPARK_GRAFT_BENCH_LOG")
-    reused_log = bool(saved_log and os.path.isdir(saved_log)
-                      and os.path.exists(os.path.join(saved_log,
-                                                      "_SUCCESS")))
+    saved_log = _resolve_saved_log()
+    reused_log = saved_log is not None
     if reused_log:
         shared_log = saved_log
         print(f"  reusing pre-generated log at {shared_log}",
               file=sys.stderr)
     else:
-        shared_log = os.path.join(_fast_tmp() or tempfile.gettempdir(),
-                                  "tinyetl_shared_log")
+        # generate INTO the well-known default path (+ params stamp) so
+        # every later invocation — the driver's included — gets the
+        # reuse for free; tmpfs lifetime bounds it.
+        shared_log = (SAVED_LOG_DEFAULT if _fast_tmp() else os.path.join(
+            tempfile.gettempdir(), "tinyetl_shared_log"))
         shutil.rmtree(shared_log, ignore_errors=True)
         cmd = [sys.executable, os.path.abspath(__file__), "--gen-log",
                "--cores", "8", "--out", shared_log]
@@ -1145,6 +1203,11 @@ def main() -> None:
         if not any(ln.startswith("{") for ln in p.stdout.splitlines()):
             print(p.stderr[-2000:], file=sys.stderr)
             raise RuntimeError("gen-log subprocess failed")
+        try:
+            with open(os.path.join(shared_log, "_PARAMS.json"), "w") as f:
+                json.dump(_expected_log_params(), f)
+        except OSError:
+            pass
         print(f"  shared log ready at {shared_log}", file=sys.stderr)
 
     # One LONG-LIVED round server per level (started sequentially, then
@@ -1304,8 +1367,11 @@ def main() -> None:
             except ProcessLookupError:
                 pass
         shutil.rmtree(ctrl, ignore_errors=True)
-    if not reused_log:
-        shutil.rmtree(shared_log, ignore_errors=True)  # free the tmpfs RAM
+    if not reused_log and shared_log != SAVED_LOG_DEFAULT:
+        # the stamped default-path copy is deliberately KEPT (1.7 GB of
+        # tmpfs buys every later invocation the ~15-min gen phase); only
+        # a non-default fallback dir is swept
+        shutil.rmtree(shared_log, ignore_errors=True)
 
     result = _build_result()
     _write_partial(result)
