@@ -823,7 +823,11 @@ def q_connector_roundtrip(spark, sf_dir):
     ev = (_t(spark, sf_dir, "events")
           .filter(F.col("event_id") % 20 == 0)
           .select("event_id",
-                  F.unix_micros(F.col("ts")).alias("ts_us"),
+                  # parquet ts loads as TIMESTAMP_NTZ; unix_micros needs
+                  # TIMESTAMP. Session tz is UTC, so the cast is
+                  # instant-preserving and equals duckdb's epoch_us(ts).
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"),
                   "user_id", "event_type", "value", "props"))
     db = tempfile.mktemp(suffix=".sqlite", prefix="tinyetl_rt_")
     write_sqlite(ev, db, "events_rt", truncate=True)

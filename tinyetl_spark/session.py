@@ -40,9 +40,29 @@ def get_spark(
         os.environ["PYTHONPATH"] = (repo_root + os.pathsep + existing
                                     if existing else repo_root)
 
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the master (local-cluster[...], yarn, k8s, ...)
+    # is fixed at submit time and the gateway JVM already exists —
+    # PythonRunner exports PYSPARK_GATEWAY_PORT before the user script
+    # runs. Overriding .master() there would silently re-point the job
+    # at a single-JVM local master; honor the submitted one instead.
+    # SPARK_GRAFT_MASTER overrides explicitly (tests / cluster dry-runs).
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+        if not master.startswith("local["):
+            # multi-JVM masters (local-cluster[...] etc.) spawn executor
+            # JVMs that do NOT inherit this process's env — their python
+            # workers need the engine package on PYTHONPATH. spark-submit
+            # deployments ship it via --py-files instead (see
+            # tools/submit_cdc_job.py); this branch covers in-process
+            # pseudo-cluster tests.
+            builder = builder.config("spark.executorEnv.PYTHONPATH",
+                                     repo_root)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

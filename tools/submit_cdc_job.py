@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""CDC ingest job for `spark-submit --py-files dist/tinyetl_spark.zip`.
+
+The deployable form of the engine's flagship pipeline (north rule: "run
+via spark-submit --py-files on a multi-executor cluster"): tail a CDC
+event log -> LWW dedup -> vectorized text extract -> epoch-fenced MERGE
+into the lake table, exactly the code path bench.py measures, but driven
+through a real submitted driver so the master (local-cluster[N,C,M],
+yarn, k8s, ...) comes from the submit command, the engine package
+travels as a --py-files zip, and every executor's python workers import
+it off the distributed archive.
+
+    spark-submit --master 'local-cluster[2,2,2048]' \
+        --py-files dist/tinyetl_spark.zip \
+        tools/submit_cdc_job.py --gen-events 400000 --work /tmp/w
+
+Prints ONE JSON line: events applied, wall seconds, events/sec,
+final table rows, micro-batches, executor count, default parallelism.
+With --log the job replays a pre-generated log (the bench protocol's
+deterministic one) instead of generating its own.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _executor_count(spark) -> int:
+    """Number of executor JVMs (driver excluded on cluster masters)."""
+    try:
+        infos = spark._jsc.sc().statusTracker().getExecutorInfos()
+        hosts = [i.host() for i in infos]
+        return max(len(hosts) - 1, 1) if len(hosts) > 1 else 1
+    except Exception:
+        return 1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", help="pre-generated event log dir (parquet)")
+    ap.add_argument("--work", required=True,
+                    help="work dir for table + checkpoint (cleared)")
+    ap.add_argument("--gen-events", type=int, default=400_000,
+                    help="events to generate when --log is absent")
+    ap.add_argument("--gen-urls", type=int, default=0,
+                    help="distinct urls (default events/20)")
+    ap.add_argument("--num-buckets", type=int, default=32)
+    ap.add_argument("--max-files-per-trigger", type=int, default=64)
+    ap.add_argument("--keep-work", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a small end-to-end pipeline first so the "
+                         "measured window excludes cluster startup costs "
+                         "(python worker pools, codegen, offset-log init)")
+    args = ap.parse_args()
+
+    from tinyetl_spark.lake import LakeTable
+    from tinyetl_spark.schema import PAGES_SCHEMA
+    from tinyetl_spark.session import get_spark
+    from tinyetl_spark.sources.eventlog import append_events
+    from tinyetl_spark.streaming.pipeline import run_to_completion
+
+    spark = get_spark(app_name="tinyetl-cdc-submit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = args.work
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    log_dir = args.log
+    if not log_dir:
+        from tinyetl_spark import datagen
+        n = args.gen_events
+        ev = datagen.change_events(
+            spark, n, args.gen_urls or max(n // 20, 100), seed=42,
+            hot_fraction=0.05,
+            num_partitions=max(spark.sparkContext.defaultParallelism, 8))
+        log_dir = f"{work}/log"
+        append_events(ev, log_dir, segment_partitions=32)
+
+    if args.warmup:
+        from tinyetl_spark import datagen
+        wdir = f"{work}/warm"
+        wev = datagen.change_events(
+            spark, 50_000, 5_000, seed=7,
+            num_partitions=max(spark.sparkContext.defaultParallelism, 8))
+        append_events(wev, f"{wdir}/log", segment_partitions=8)
+        LakeTable.create(spark, f"{wdir}/table", PAGES_SCHEMA,
+                         key_col="url", num_buckets=args.num_buckets)
+        run_to_completion(spark, f"{wdir}/log", f"{wdir}/table",
+                          f"{wdir}/ckpt", max_files_per_trigger=4,
+                          query_name="warmup")
+        shutil.rmtree(wdir, ignore_errors=True)
+
+    LakeTable.create(spark, f"{work}/table", PAGES_SCHEMA,
+                     key_col="url", num_buckets=args.num_buckets)
+    t0 = time.time()
+    stats = run_to_completion(
+        spark, log_dir, f"{work}/table", f"{work}/ckpt",
+        max_files_per_trigger=args.max_files_per_trigger,
+        query_name="tinyetl-cdc-submit")
+    elapsed = time.time() - t0
+    total = sum(s.events_in for s in stats)
+    final_rows = LakeTable(spark, f"{work}/table").read().count()
+    out = {
+        "events": total,
+        "seconds": round(elapsed, 2),
+        "events_per_sec": round(total / elapsed, 1) if elapsed else None,
+        "final_rows": final_rows,
+        "batches": len(stats),
+        "executors": _executor_count(spark),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+    }
+    spark.stop()
+    if not args.keep_work:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""Executor-level N vs 4N scaling replication via spark-submit.
+
+The primary scaling protocol (bench.py) runs the CDC job at local[2] vs
+local[8] — thread-level parallelism in one JVM per level. This tool
+replays the SAME job and the SAME pre-generated 16M-event log through
+the north rule's literal deployment shape instead: `spark-submit
+--py-files dist/tinyetl_spark.zip` onto `local-cluster[1,2,2048]` (N=1
+executor JVM) and `local-cluster[4,2,2048]` (4N=4 executor JVMs) — real
+executor processes with real serialization/classpath boundaries, so the
+efficiency number also covers multi-JVM coordination costs that local[N]
+threads cannot see.
+
+Shares bench.py's host-phase discipline: per-round probe gating on
+candidate CPU ranges (the host pathology is range-local and migrates),
+taskset-pinned process trees sized to each level's core budget, and a
+work gate on the round's own core-seconds (identical replayed log =>
+identical work; /usr/bin/time measures the whole submit tree).
+
+Usage:
+    python tools/submit_scaling.py [--rounds 2] [--budget 1800]
+Writes BENCH/SUBMIT_SCALING.json and prints one JSON line.
+Requires the stamped saved log (run bench.py once to create it) or
+generates a smaller one via the submitted job itself.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+import bench  # noqa: E402  (probe + candidate-range + saved-log machinery)
+
+LEVELS = [
+    # label, executors, cores/exec, mem MB, total cores, candidate label
+    ("n1", 1, 2, 2048, 2, "low"),
+    ("n4", 4, 2, 2048, 8, "high"),
+]
+
+
+def _spark_submit() -> str:
+    p = shutil.which("spark-submit")
+    if p:
+        return p
+    for cand in ("/opt/spark/bin/spark-submit",):
+        if os.access(cand, os.X_OK):
+            return cand
+    raise RuntimeError("spark-submit not found")
+
+
+def _run_level(submit: str, zip_path: str, log_dir: str | None,
+               execs: int, cores_per: int, mem_mb: int,
+               cpuset: str, work_root: str) -> dict:
+    """One measured submit round, taskset-pinned; returns the job's JSON
+    plus the submit tree's core-seconds from /usr/bin/time."""
+    work = tempfile.mkdtemp(prefix="tinyetl_submit_", dir=work_root)
+    tf = tempfile.mktemp(prefix="tinyetl_time_")
+    master = f"local-cluster[{execs},{cores_per},{mem_mb}]"
+    cmd = [
+        "/usr/bin/time", "-f", "%U %S", "-o", tf,
+        "taskset", "-c", cpuset,
+        submit, "--master", master,
+        "--py-files", zip_path,
+        "--conf", "spark.network.timeout=7200s",
+        "--conf", "spark.executor.heartbeatInterval=60s",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "tools", "submit_cdc_job.py"),
+        "--work", work, "--warmup",
+    ]
+    if log_dir:
+        cmd += ["--log", log_dir]
+    else:
+        cmd += ["--gen-events", "2000000"]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)           # the zip must carry the engine
+    env["PYSPARK_PYTHON"] = sys.executable
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd=REPO)
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"submit round failed rc={p.returncode}: "
+                f"{p.stderr[-1500:]}")
+        res = json.loads(lines[-1])
+        try:
+            with open(tf) as f:
+                u, s = f.read().split()
+            res["cpu_seconds"] = round(float(u) + float(s), 1)
+        except (OSError, ValueError):
+            res["cpu_seconds"] = None
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        try:
+            os.unlink(tf)
+        except OSError:
+            pass
+
+
+def main() -> None:
+    rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) \
+        if "--rounds" in sys.argv else 2
+    budget = int(sys.argv[sys.argv.index("--budget") + 1]) \
+        if "--budget" in sys.argv else 1800
+    deadline = time.time() + budget
+
+    submit = _spark_submit()
+    from tools.make_pyfiles import build
+    zip_path = build(os.path.join(REPO, "dist", "tinyetl_spark.zip"))
+    log_dir = bench._resolve_saved_log()
+    calib = bench.load_probe_calib()
+    factor = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "1.25"))
+    work_factor = float(os.environ.get("SPARK_GRAFT_WORK_FACTOR", "1.35"))
+    work_root = bench._fast_tmp() or tempfile.gettempdir()
+    env = dict(os.environ)
+
+    samples: dict[str, list] = {lbl: [] for lbl, *_ in LEVELS}
+    attempts: list = []
+    cpu_floor: dict[str, float] = {}
+    while time.time() < deadline:
+        pending = [lv for lv in LEVELS
+                   if sum(1 for r in samples[lv[0]] if r["round_clean"])
+                   < rounds]
+        if not pending:
+            break
+        progressed = False
+        for lbl, execs, cores_per, mem_mb, total_c, cand_lbl in pending:
+            clean_rng = None
+            for rng in bench._candidates(total_c, cand_lbl):
+                n0 = len(attempts)
+                ok = bench.gated_probe(total_c, env, calib, factor, 0,
+                                       attempts, cpuset=rng)
+                if ok:
+                    clean_rng = rng
+                    break
+            forced = not samples[lbl] and clean_rng is None
+            if clean_rng is None and not forced:
+                continue
+            rng = clean_rng or bench._candidates(total_c, cand_lbl)[0]
+            res = _run_level(submit, zip_path, log_dir, execs, cores_per,
+                             mem_mb, rng, work_root)
+            res["level"] = lbl
+            res["probe_clean"] = clean_rng is not None
+            cs = res.get("cpu_seconds") or 0.0
+            if cs:
+                cpu_floor[lbl] = min(cpu_floor.get(lbl, cs), cs)
+            # work gate on the whole submit tree's core-seconds (startup
+            # + warmup + measured window — all replay identical work, so
+            # the total is a round-invariant). No utilization leg here:
+            # the job's wall window excludes startup while /usr/bin/time
+            # covers it, so a cpu/wall ratio would mix denominators.
+            res["work_clean"] = bool(
+                cs and cs <= work_factor * cpu_floor[lbl])
+            res["round_clean"] = res["probe_clean"] and res["work_clean"]
+            samples[lbl].append(res)
+            print(f"  submit@{lbl}: {res}", file=sys.stderr)
+            progressed = True
+        if not progressed:
+            time.sleep(15)
+
+    def _med(lbl, clean_only):
+        v = [r["events_per_sec"] for r in samples[lbl]
+             if r.get("events_per_sec")
+             and (r["round_clean"] or not clean_only)]
+        return round(statistics.median(v), 1) if v else None
+
+    lo_g, hi_g = _med("n1", True), _med("n4", True)
+    lo_u, hi_u = _med("n1", False), _med("n4", False)
+    out = {
+        "protocol": "spark-submit --py-files, local-cluster[1,2,2048] vs "
+                    "local-cluster[4,2,2048] (N=1 vs 4N=4 executor JVMs, "
+                    "2 cores each), same pre-generated event log",
+        "log": log_dir,
+        "rounds": {lbl: samples[lbl] for lbl, *_ in LEVELS},
+        "median_eps_gated": {"n1": lo_g, "n4": hi_g},
+        "median_eps": {"n1": lo_u, "n4": hi_u},
+        "efficiency_gated": round(hi_g / lo_g / 4.0, 3)
+        if lo_g and hi_g else None,
+        "efficiency": round(hi_u / lo_u / 4.0, 3) if lo_u and hi_u else None,
+        "probe_attempts": attempts,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SUBMIT_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
