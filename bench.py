@@ -88,7 +88,19 @@ def _tree_cpu_seconds() -> float:
     — the level-independent work measure behind the scaling decomposition
     (identical events => identical work; any core-second inflation at
     higher concurrency is host memory contention, not engine overhead;
-    stalled cycles count as busy, so utilization stays ~1)."""
+    stalled cycles count as busy, so utilization stays ~1).
+
+    Counts live processes' own utime+stime PLUS their reaped-children
+    time (cutime+cstime): pyspark worker processes are recycled between
+    rounds, and a worker that dies mid-window would otherwise take its
+    whole accumulated CPU out of the end sample — observed as a round
+    "costing" 82 core-s against a 193 floor (physically impossible for
+    identical work), which then poisoned the self-tightening floor and
+    flagged every honest later round dirty. The two legs never
+    double-count inside one window: a child alive at both edges
+    contributes via its own counters (parent cutime unchanged); one that
+    dies mid-window contributes exactly its post-c0 work via the
+    parent's cutime delta."""
     import glob
     me = os.getpid()
     procs: dict[int, tuple[int, int]] = {}
@@ -98,7 +110,9 @@ def _tree_cpu_seconds() -> float:
                 head, tail = f.read().rsplit(")", 1)
             pid = int(head.split(" ", 1)[0])
             fld = tail.split()
-            procs[pid] = (int(fld[1]), int(fld[11]) + int(fld[12]))
+            procs[pid] = (int(fld[1]),
+                          int(fld[11]) + int(fld[12])      # utime+stime
+                          + int(fld[13]) + int(fld[14]))   # cutime+cstime
         except (OSError, ValueError, IndexError):
             continue
     total = 0
@@ -1332,7 +1346,15 @@ def main() -> None:
                 nxt[label] += 1
                 res["probe_clean"] = clean
                 cs = float(res.get("cpu_seconds") or 0.0)
-                if cs and cs < cpu_floor.get(cores, cs + 1):
+                # floors only tighten from internally-consistent rounds
+                # (utilization at least util_floor): a CPU-sampling
+                # anomaly that UNDERCOUNTS (observed: 82 core-s against
+                # a 193 floor — impossible for identical work — with
+                # utilization 0.3) would otherwise poison the monotonic
+                # floor and flag every honest later round dirty.
+                if (cs and cs < cpu_floor.get(cores, cs + 1)
+                        and float(res.get("utilization") or 0.0)
+                        >= util_floor):
                     cpu_floor[cores] = cs
                 work_clean = bool(
                     cs and cs <= work_factor * cpu_floor[cores]
