@@ -59,12 +59,13 @@ def _run_level(submit: str, zip_path: str, log_dir: str | None,
                execs: int, cores_per: int, mem_mb: int,
                cpuset: str, work_root: str) -> dict:
     """One measured submit round, taskset-pinned; returns the job's JSON
-    plus the submit tree's core-seconds from /usr/bin/time."""
+    plus the submit tree's core-seconds (getrusage(RUSAGE_CHILDREN)
+    delta — by subprocess.run's return every descendant is reaped, so
+    the whole driver+executor tree's user+sys rolls up there)."""
+    import resource
     work = tempfile.mkdtemp(prefix="tinyetl_submit_", dir=work_root)
-    tf = tempfile.mktemp(prefix="tinyetl_time_")
     master = f"local-cluster[{execs},{cores_per},{mem_mb}]"
     cmd = [
-        "/usr/bin/time", "-f", "%U %S", "-o", tf,
         "taskset", "-c", cpuset,
         submit, "--master", master,
         "--py-files", zip_path,
@@ -82,27 +83,21 @@ def _run_level(submit: str, zip_path: str, log_dir: str | None,
     env.pop("PYTHONPATH", None)           # the zip must carry the engine
     env["PYSPARK_PYTHON"] = sys.executable
     try:
+        r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
         p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                            cwd=REPO)
+        r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
         lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
         if not lines:
             raise RuntimeError(
                 f"submit round failed rc={p.returncode}: "
                 f"{p.stderr[-1500:]}")
         res = json.loads(lines[-1])
-        try:
-            with open(tf) as f:
-                u, s = f.read().split()
-            res["cpu_seconds"] = round(float(u) + float(s), 1)
-        except (OSError, ValueError):
-            res["cpu_seconds"] = None
+        res["cpu_seconds"] = round(
+            (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime), 1)
         return res
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        try:
-            os.unlink(tf)
-        except OSError:
-            pass
 
 
 def main() -> None:
