@@ -81,29 +81,13 @@ def _fast_tmp() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
-def _tree_cpu_seconds() -> float:
-    """user+sys CPU seconds of this process AND all live descendants
-    (the JVM and its python workers), summed from /proc. Sampled at the
-    measured window's edges, the delta is the window's total core-seconds
-    — the level-independent work measure behind the scaling decomposition
-    (identical events => identical work; any core-second inflation at
-    higher concurrency is host memory contention, not engine overhead;
-    stalled cycles count as busy, so utilization stays ~1).
-
-    Counts live processes' own utime+stime PLUS their reaped-children
-    time (cutime+cstime): pyspark worker processes are recycled between
-    rounds, and a worker that dies mid-window would otherwise take its
-    whole accumulated CPU out of the end sample — observed as a round
-    "costing" 82 core-s against a 193 floor (physically impossible for
-    identical work), which then poisoned the self-tightening floor and
-    flagged every honest later round dirty. The two legs never
-    double-count inside one window: a child alive at both edges
-    contributes via its own counters (parent cutime unchanged); one that
-    dies mid-window contributes exactly its post-c0 work via the
-    parent's cutime delta."""
+def _tree_cpu_sample() -> dict[int, tuple[int, int, int]]:
+    """Snapshot of this process + all live descendants (the JVM and its
+    python workers): pid -> (ppid, own utime+stime ticks, reaped-children
+    cutime+cstime ticks), from /proc."""
     import glob
     me = os.getpid()
-    procs: dict[int, tuple[int, int]] = {}
+    procs: dict[int, tuple[int, int, int]] = {}
     for sd in glob.glob("/proc/[0-9]*/stat"):
         try:
             with open(sd) as f:
@@ -111,21 +95,63 @@ def _tree_cpu_seconds() -> float:
             pid = int(head.split(" ", 1)[0])
             fld = tail.split()
             procs[pid] = (int(fld[1]),
-                          int(fld[11]) + int(fld[12])      # utime+stime
-                          + int(fld[13]) + int(fld[14]))   # cutime+cstime
+                          int(fld[11]) + int(fld[12]),     # utime+stime
+                          int(fld[13]) + int(fld[14]))     # cutime+cstime
         except (OSError, ValueError, IndexError):
             continue
-    total = 0
-    for pid, (_, cpu) in procs.items():
+    tree: dict[int, tuple[int, int, int]] = {}
+    for pid, rec in procs.items():
         p = pid
         for _ in range(64):                      # ancestry walk, cycle-safe
             if p == me:
-                total += cpu
+                tree[pid] = rec
                 break
-            p = procs.get(p, (0, 0))[0]
+            p = procs.get(p, (0, 0, 0))[0]
             if p <= 1:
                 break
-    return total / os.sysconf("SC_CLK_TCK")
+    return tree
+
+
+def _tree_cpu_delta(s0: dict, s1: dict) -> float:
+    """Core-seconds burned by the tree between two samples — the
+    level-independent work measure behind the scaling decomposition
+    (identical events => identical work; stalled cycles count as busy).
+
+    Computed per-pid from monotone counters, never as a difference of
+    absolute tree totals: a total can DECREASE when a process carrying
+    accumulated CPU leaves the tree (pyspark daemon recycling orphans
+    its idle workers to init between rounds — observed as a 300k ev/s
+    round "costing" 0.0 core-seconds, which flagged an honest clean
+    round dirty). Legs: (a) own-counter delta of every pid alive at the
+    end edge (new pids count from zero); (b) reaped-children delta of
+    every surviving pid, minus the PRE-window lifetime of tree members
+    that died inside the window (a reap rolls the child's whole
+    lifetime into the parent's cutime, but only its post-window-start
+    slice is this window's work). Each leg clamps at zero, so pid reuse
+    or scan races can only undercount, never fabricate."""
+    tck = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    for pid, (_, own1, _) in s1.items():
+        own0 = s0.get(pid, (0, 0, 0))[1]
+        total += max(own1 - own0, 0)
+    # pre-window lifetime of pids that left the tree, grouped by the
+    # parent whose cutime their reap credited
+    dead_pre: dict[int, int] = {}
+    for pid, (ppid, own0, ch0) in s0.items():
+        if pid not in s1:
+            dead_pre[ppid] = dead_pre.get(ppid, 0) + own0 + ch0
+    for pid, (_, _, ch1) in s1.items():
+        ch0 = s0.get(pid, (0, 0, 0))[2]
+        total += max(ch1 - ch0 - dead_pre.get(pid, 0), 0)
+    return total / tck
+
+
+def _tree_cpu_seconds() -> float:
+    """Absolute tree total (own + reaped-children) — kept for callers
+    that want a single number; window measurement uses the per-pid
+    delta estimator above."""
+    return sum(o + c for _, o, c in _tree_cpu_sample().values()) \
+        / os.sysconf("SC_CLK_TCK")
 
 
 def run_probe(cores: int) -> float:
@@ -203,6 +229,57 @@ def _candidates(cores: int, label: str | None = None) -> list[str]:
     return out or [f"0-{cores - 1}"]
 
 
+def _scout_pairs(env: dict, calib: dict, factor: float,
+                 attempts_log: list) -> list[tuple[str, float]]:
+    """Machine-wide host-phase map: one timeout-bounded 2-core probe per
+    CPU pair. The pathology is PER-PAIR and migrates within minutes, so
+    a `cores`-wide contiguous range needs cores/2 simultaneously-clean
+    ADJACENT pairs — rare in a mixed phase — while the machine usually
+    still has that many clean pairs SOMEWHERE. The scout finds them so
+    the scheduler can compose a cpuset from the cleanest pairs instead
+    of starving on fixed strides. Cost is bounded: a clean pair probes
+    in ~0.5 s and a degraded one is killed at the cutoff."""
+    best2 = calib.get("2")
+    to = max(3.0, 6.0 * factor * best2) if best2 else 6.0
+    ncpu = os.cpu_count() or 2
+    out: list[tuple[str, float]] = []
+    for i in range(0, ncpu - 1, 2):
+        rng = f"{i}-{i + 1}"
+        s = probe_subprocess(2, env, rng, timeout_s=to)
+        if s is not None:
+            b = calib.get("2")
+            calib["2"] = min(b, s) if b is not None else s
+        rec = s if s is not None else to
+        out.append((rng, rec))
+        attempts_log.append({"cores": 2, "seconds": round(rec, 3),
+                             "best": calib.get("2"), "scout": rng,
+                             "clean": bool(s is not None
+                                           and s <= factor * calib["2"]),
+                             "timeout": s is None})
+    save_probe_calib(calib)
+    clean_n = sum(1 for _, s in out if s <= factor * calib.get("2", s))
+    print(f"  scout: {clean_n}/{len(out)} pairs clean "
+          f"({sorted(out, key=lambda t: t[1])[:4]})", file=sys.stderr)
+    return out
+
+
+def _compose_cpuset(scout: list[tuple[str, float]], cores: int,
+                    calib: dict, factor: float) -> str | None:
+    """cpuset assembled from the cleanest cores/2 pairs of a scout, or
+    None when the machine lacks that many clean pairs right now."""
+    best2 = calib.get("2")
+    if best2 is None or cores % 2:
+        return None
+    clean = sorted((t for t in scout if t[1] <= factor * best2),
+                   key=lambda t: t[1])
+    need = cores // 2
+    if len(clean) < need:
+        return None
+    picked = sorted(clean[:need],
+                    key=lambda t: int(t[0].split("-")[0]))
+    return ",".join(r for r, _ in picked)
+
+
 def _descendant_pids(root: int) -> list[int]:
     """root + all live descendant pids, from /proc ppid ancestry."""
     import glob
@@ -240,15 +317,33 @@ def _repin_tree(root: int, rng: str) -> None:
 
 
 def probe_subprocess(cores: int, env: dict,
-                     cpuset: str | None = None) -> float:
+                     cpuset: str | None = None,
+                     timeout_s: float | None = None) -> float | None:
+    """One taskset-pinned probe run; ``timeout_s`` kills a probe that is
+    already provably degraded (clean is <1 s of measured work — a probe
+    still running after several seconds cannot gate clean, and degraded
+    probes otherwise burn 10-40 s each, which is most of a scheduling
+    pass). Returns the measured seconds, or None on timeout-kill."""
     cmd = [sys.executable, os.path.abspath(__file__), "--probe",
            "--cores", str(cores)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", cpuset or f"0-{cores - 1}"] + cmd
-    p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
-    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    import signal as _sig
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True, env=env,
+                         cwd=REPO, start_new_session=True)
+    try:
+        out, err = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, _sig.SIGKILL)
+        except ProcessLookupError:
+            pass
+        p.wait()
+        return None
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
     if not lines:
-        print(p.stderr[-2000:], file=sys.stderr)
+        print(err[-2000:], file=sys.stderr)
         raise RuntimeError("probe subprocess failed")
     return float(json.loads(lines[-1])["seconds"])
 
@@ -289,7 +384,22 @@ def gated_probe(cores: int, env: dict, calib: dict,
     exhausted — it is then reported as an ungated round."""
     key = str(cores)
     for attempt in range(retries + 1):
-        s = probe_subprocess(cores, env, cpuset)
+        best0 = calib.get(key)
+        # kill a probe that has already lost: the interpreter+numpy
+        # startup is ~1-2 s on top of the measured work, so the cutoff
+        # carries generous headroom over the clean gate before killing
+        to = (max(4.0, 8.0 * factor * best0) if best0 else None)
+        s = probe_subprocess(cores, env, cpuset, timeout_s=to)
+        if s is None:
+            attempts_log.append({"cores": cores, "seconds": round(to, 3),
+                                 "best": best0, "clean": False,
+                                 "timeout": True})
+            print(f"  probe@{cores}: >{round(to, 1)}s (timeout-kill, "
+                  "degraded)", file=sys.stderr)
+            if attempt < retries:
+                time.sleep(int(os.environ.get("SPARK_GRAFT_PROBE_BACKOFF",
+                                              "20")))
+            continue
         best = calib.get(key)
         calib[key] = min(best, s) if best is not None else s
         save_probe_calib(calib)
@@ -412,12 +522,12 @@ def _cdc_round(spark, cores: int, log_dir: str) -> dict:
         LakeTable.create(spark, f"{work}/table", PAGES_SCHEMA,
                          key_col="url", num_buckets=32)
         t0 = time.time()
-        c0 = _tree_cpu_seconds()
+        c0 = _tree_cpu_sample()
         stats = run_to_completion(spark, log_dir, f"{work}/table",
                                   f"{work}/ckpt", max_files_per_trigger=64,
                                   query_name=f"cdc-bench-{cores}")
         elapsed = time.time() - t0
-        cpu = max(_tree_cpu_seconds() - c0, 0.0)
+        cpu = _tree_cpu_delta(c0, _tree_cpu_sample())
         total = sum(s.events_in for s in stats)
         final_rows = LakeTable(spark, f"{work}/table").read().count()
         return {
@@ -1308,6 +1418,15 @@ def main() -> None:
                       file=sys.stderr)
                 break
             progressed = False
+            # one machine-wide pair scout per pass when a multi-pair
+            # level is pending: the pathology migrates between pairs, so
+            # a composed cpuset of the cleanest pairs finds clean slots
+            # that every fixed contiguous stride misses
+            scout = None
+            if (os.environ.get("SPARK_GRAFT_SCOUT", "1") != "0"
+                    and any(cores_of[l] > 2 for l in pending)):
+                scout = _scout_pairs(env, calib, gate_factor,
+                                     probe_attempts)
             for label in pending:
                 cores = cores_of[label]
                 if over and samples[label]:
@@ -1316,9 +1435,22 @@ def main() -> None:
                 # first clean one, re-pinning the level's live server
                 # tree when it differs from the range it currently
                 # occupies (the pathology migrates between core pairs)
+                cand = _candidates(cores, label)
+                if scout is not None:
+                    if cores > 2:
+                        comp = _compose_cpuset(scout, cores, calib,
+                                               gate_factor)
+                        if comp:
+                            cand = [comp] + cand
+                    else:
+                        # the scout just probed every pair — lead with
+                        # its cleanest ones instead of blind strides
+                        cand = ([r for r, _ in
+                                 sorted(scout, key=lambda t: t[1])[:2]]
+                                + cand)
                 clean = False
                 best_rng, best_s = None, None
-                for rng in _candidates(cores, label):
+                for rng in dict.fromkeys(cand):
                     n0 = len(probe_attempts)
                     clean = gated_probe(cores, env, calib, gate_factor,
                                         0, probe_attempts, cpuset=rng)
