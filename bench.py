@@ -229,6 +229,46 @@ def _candidates(cores: int, label: str | None = None) -> list[str]:
     return out or [f"0-{cores - 1}"]
 
 
+def _reap_orphan_servers() -> int:
+    """Kill leftover cdc round servers (and their JVMs) from a previous
+    bench invocation that was SIGKILLed: the parent's finally-block never
+    ran, so the servers stay SIGSTOPped forever and their JVMs poison
+    later measurements at 100-200% CPU once CONTed — or hold gigabytes
+    of tmpfs. Orphans are identified by cmdline (``--cdc-server`` worker
+    or a ``cdc-bench-`` spark.app.name) + ppid 1 (reparented to init);
+    a live invocation's servers have a live python parent and are never
+    touched."""
+    import glob
+    import signal as _sig
+    n = 0
+    me = os.getpid()
+    for sd in glob.glob("/proc/[0-9]*"):
+        try:
+            pid = int(os.path.basename(sd))
+            if pid == me:
+                continue
+            with open(f"{sd}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(
+                    "utf-8", "replace")
+            if "--cdc-server" not in cmd and "cdc-bench-" not in cmd:
+                continue
+            with open(f"{sd}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+            if ppid != 1:
+                continue
+            try:
+                os.killpg(os.getpgid(pid), _sig.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                os.kill(pid, _sig.SIGKILL)
+            n += 1
+        except (OSError, ValueError, IndexError):
+            continue
+    if n:
+        print(f"  reaped {n} orphaned bench server(s) from a killed "
+              "invocation", file=sys.stderr)
+    return n
+
+
 def _scout_pairs(env: dict, calib: dict, factor: float,
                  attempts_log: list) -> list[tuple[str, float]]:
     """Machine-wide host-phase map: one timeout-bounded 2-core probe per
@@ -1333,6 +1373,7 @@ def main() -> None:
     # deterministic log (pure function of seed/n/partitions): reusing it
     # skips the ~15-min gen phase so an invocation fits inside a short
     # clean host window; the caller owns that directory's lifecycle.
+    _reap_orphan_servers()
     saved_log = _resolve_saved_log()
     reused_log = saved_log is not None
     if reused_log:
