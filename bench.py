@@ -1499,9 +1499,18 @@ def main() -> None:
                     and any(cores_of[l] > 2 for l in pending)):
                 scout = _scout_pairs(env, calib, gate_factor,
                                      probe_attempts)
+            scout_clean = (None if scout is None else
+                           sum(1 for _, s in scout
+                               if s <= gate_factor * calib.get("2", s)))
             for label in pending:
                 cores = cores_of[label]
                 if over and samples[label]:
+                    continue
+                if scout_clean == 0 and samples[label] and not over:
+                    # the scout just probed EVERY pair degraded — no
+                    # stride or composition can be clean this pass, so
+                    # the per-candidate probes are pure wait-time
+                    skipped[label] += 1
                     continue
                 # probe candidate ranges in order; run the round on the
                 # first clean one, re-pinning the level's live server
