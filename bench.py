@@ -1178,12 +1178,13 @@ def main() -> None:
     # judged on) and best-of (the clean-mode estimate, justified by the
     # measured asymmetric degradation episodes of this shared VM, which
     # only ever slow runs down).
-    # 5 equal rounds per level: the host's degradation episodes are
-    # asymmetric (they only slow runs down) and hit the high level more
-    # often — a median of 5 stays clean with up to two degraded rounds,
-    # where a median of 3 flips on one (observed same-invocation high
-    # rounds spread 424-500k ev/s).
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+    # target 3 WORK-CLEAN rounds per level (was 5 when cleanliness came
+    # from a pre-round probe proxy): the work gate now certifies each
+    # counted round by its own core-seconds on identical work, so the
+    # median no longer needs slack for hidden outliers — and a target of
+    # 3 is ~2x likelier than 5 to complete inside one of the host's
+    # short clean windows (dirty rounds are re-queued, never counted).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     high_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_ROUNDS",
                                      str(rounds)))
     # Default pair 2 vs 8 (N vs 4N): this VM inflates the core-seconds of
