@@ -1474,6 +1474,19 @@ def main() -> None:
         cap = {"low": rounds * spare, "high": high_rounds * spare}
         target = {"low": rounds, "high": high_rounds}
         cores_of = {"low": low_c, "high": high_c}
+        # starvation speculation: the probe gate can sit JUST above its
+        # threshold for an hour (borderline plateau) without ever trying
+        # a round — information-free starvation, since only the work
+        # gate can certify a round anyway. After `starve_k` consecutive
+        # deferrals where the pass's best probe was within striking
+        # distance (≤ starve_ceil × the clean gate), run one round on
+        # the least-bad range and let the work gate judge it. A probe
+        # plateau far above the ceiling (truly sick host) never
+        # speculates — a degraded high round costs ~10 min of budget.
+        starve_k = int(os.environ.get("SPARK_GRAFT_STARVE_TRIES", "4"))
+        starve_ceil = float(os.environ.get("SPARK_GRAFT_STARVE_CEIL",
+                                           "2.5"))
+        starve = {"low": 0, "high": 0}
 
         def _clean_n(lbl: str) -> int:
             return sum(1 for r in samples[lbl] if r.get("round_clean"))
@@ -1509,27 +1522,37 @@ def main() -> None:
                     continue
                 if scout_clean == 0 and samples[label] and not over:
                     # the scout just probed EVERY pair degraded — no
-                    # stride or composition can be clean this pass, so
-                    # the per-candidate probes are pure wait-time
-                    skipped[label] += 1
-                    continue
-                # probe candidate ranges in order; run the round on the
-                # first clean one, re-pinning the level's live server
-                # tree when it differs from the range it currently
-                # occupies (the pathology migrates between core pairs)
-                cand = _candidates(cores, label)
-                if scout is not None:
+                    # stride or composition can be clean this pass;
+                    # keep ONE least-bad composition as the only
+                    # candidate (cheap gate probe + starvation input)
+                    pairs = sorted(scout, key=lambda t: t[1])
                     if cores > 2:
-                        comp = _compose_cpuset(scout, cores, calib,
-                                               gate_factor)
-                        if comp:
-                            cand = [comp] + cand
+                        picked = sorted(pairs[:cores // 2],
+                                        key=lambda t:
+                                        int(t[0].split("-")[0]))
+                        cand = [",".join(r for r, _ in picked)]
                     else:
-                        # the scout just probed every pair — lead with
-                        # its cleanest ones instead of blind strides
-                        cand = ([r for r, _ in
-                                 sorted(scout, key=lambda t: t[1])[:2]]
-                                + cand)
+                        cand = [pairs[0][0]]
+                else:
+                    # probe candidate ranges in order; run the round on
+                    # the first clean one, re-pinning the level's live
+                    # server tree when it differs from the range it
+                    # currently occupies (the pathology migrates
+                    # between core pairs)
+                    cand = _candidates(cores, label)
+                    if scout is not None:
+                        if cores > 2:
+                            comp = _compose_cpuset(scout, cores, calib,
+                                                   gate_factor)
+                            if comp:
+                                cand = [comp] + cand
+                        else:
+                            # the scout just probed every pair — lead
+                            # with its cleanest ones, not blind strides
+                            cand = ([r for r, _ in
+                                     sorted(scout,
+                                            key=lambda t: t[1])[:2]]
+                                    + cand)
                 clean = False
                 best_rng, best_s = None, None
                 for rng in dict.fromkeys(cand):
@@ -1544,11 +1567,22 @@ def main() -> None:
                         best_rng = rng
                         break
                 if not clean and samples[label] and not over:
-                    skipped[label] += 1
-                    print(f"  {label}@local[{cores}]: degraded probe — "
-                          "slot deferred to a cleaner pass",
-                          file=sys.stderr)
-                    continue
+                    best_c = calib.get(str(cores))
+                    near = (best_s is not None and best_c
+                            and best_s <= starve_ceil * gate_factor
+                            * best_c)
+                    starve[label] = starve[label] + 1 if near else 0
+                    if near and starve[label] >= starve_k:
+                        print(f"  {label}@local[{cores}]: probe plateau "
+                              f"({best_s}s) for {starve[label]} passes "
+                              "— speculative round, work-gate decides",
+                              file=sys.stderr)
+                    else:
+                        skipped[label] += 1
+                        print(f"  {label}@local[{cores}]: degraded probe "
+                              "— slot deferred to a cleaner pass",
+                              file=sys.stderr)
+                        continue
                 # run on the clean range, or (forced ungated round) the
                 # least-bad one probed this pass
                 if best_rng and best_rng != cur_rng[label]:
@@ -1558,6 +1592,7 @@ def main() -> None:
                           file=sys.stderr)
                 res = _server_round(label, cores, nxt[label])
                 nxt[label] += 1
+                starve[label] = 0
                 res["probe_clean"] = clean
                 cs = float(res.get("cpu_seconds") or 0.0)
                 # floors only tighten from internally-consistent rounds
