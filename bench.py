@@ -1452,13 +1452,16 @@ def main() -> None:
             return json.load(f)
 
     # Scheduling: alternate levels; each level has a fixed server
-    # capacity (`rounds` go-slots). A slot whose pre-round probe is
-    # degraded is SKIPPED — the slot's capacity is preserved for a later
-    # pass in a cleaner window — unless the level has no measured rounds
-    # yet (identical work is deferred, never measured-and-discarded).
-    # Scheduling stops at deadline - tail_reserve so the query/commit/
-    # metadata tail phases still fit inside the invocation budget even
-    # when every probe is degraded.
+    # capacity (go-slots). A slot whose pre-round probe is degraded is
+    # SKIPPED — the slot's capacity is preserved for a later pass in a
+    # cleaner window (identical work is deferred, never
+    # measured-and-discarded). A level that reaches the scheduling
+    # deadline with no measured rounds at all runs one forced round so
+    # every invocation yields an artifact; running forced rounds EARLY
+    # in a sick phase only burned ~13 min of window on rounds the work
+    # gate then rejected. Scheduling stops at deadline - tail_reserve so
+    # the query/commit/metadata tail phases still fit inside the
+    # invocation budget even when every probe is degraded.
     sched_deadline = deadline - tail_reserve
     # spare server go-slots: a round the work gate flags dirty is
     # re-queued (identical work, deferred — never dropped), so each
@@ -1520,7 +1523,7 @@ def main() -> None:
                 cores = cores_of[label]
                 if over and samples[label]:
                     continue
-                if scout_clean == 0 and samples[label] and not over:
+                if scout_clean == 0 and not over:
                     # the scout just probed EVERY pair degraded — no
                     # stride or composition can be clean this pass;
                     # keep ONE least-bad composition as the only
@@ -1566,7 +1569,7 @@ def main() -> None:
                     if clean:
                         best_rng = rng
                         break
-                if not clean and samples[label] and not over:
+                if not clean and not over:
                     best_c = calib.get(str(cores))
                     near = (best_s is not None and best_c
                             and best_s <= starve_ceil * gate_factor
