@@ -93,3 +93,52 @@ def test_work_clean_arithmetic():
     assert not work_clean(300.0, 0.97)       # cpu inflated, util fine
     assert not work_clean(200.0, 0.70)       # steal: util collapsed
     assert not work_clean(0.0, 1.0)          # no cpu sample -> dirty
+
+
+def test_tree_cpu_delta_monotone_and_reap_adjusted(bench):
+    """Window work from per-pid monotone deltas: a process leaving the
+    tree must not zero the window (the old absolute-total difference
+    did — an honest 302k ev/s round measured 0.0 core-seconds), and a
+    reaped child's PRE-window lifetime must not inflate it."""
+    tck = os.sysconf("SC_CLK_TCK")
+    # pid 5 = parent; 10 survives (+50); 11 dies mid-window after +30
+    # more (pre-window own 200 rolls into 5's cutime on reap); 12 is
+    # spawned mid-window (+40); parent itself +2
+    s0 = {5: (1, 10, 0), 10: (5, 100, 0), 11: (5, 200, 0)}
+    s1 = {5: (1, 12, 230), 10: (5, 150, 0), 12: (5, 40, 0)}
+    assert bench._tree_cpu_delta(s0, s1) * tck == pytest.approx(122)
+    # orphaned unreaped worker: its post-window work is lost (undercount
+    # only), never negative / never zeroing the survivors' work
+    s1b = {5: (1, 12, 0), 10: (5, 150, 0)}
+    assert bench._tree_cpu_delta(s0, s1b) * tck == pytest.approx(52)
+    # pid reuse: smaller own counter clamps to 0, no fabrication
+    s1c = {5: (1, 12, 0), 10: (5, 7, 0)}
+    assert bench._tree_cpu_delta(s0, s1c) * tck == pytest.approx(2)
+
+
+def test_tree_cpu_sample_self(bench):
+    """The /proc sampler sees this process and a live child, and the
+    delta over a busy loop is positive."""
+    a = bench._tree_cpu_sample()
+    assert os.getpid() in a
+    sum(i * i for i in range(3_000_000))
+    b = bench._tree_cpu_sample()
+    assert bench._tree_cpu_delta(a, b) >= 0.0
+
+
+def test_compose_cpuset_from_cleanest_pairs(bench):
+    """8-core cpuset composed from the 4 cleanest pairs, ordered by cpu
+    id; None when the machine lacks 4 clean pairs."""
+    calib = {"2": 0.4}
+    scout = [("0-1", 9.9), ("2-3", 0.41), ("4-5", 0.48), ("6-7", 9.9),
+             ("8-9", 0.42), ("10-11", 9.9), ("12-13", 0.45),
+             ("14-15", 0.49)]
+    # factor 1.25 -> gate 0.5: clean pairs are 2-3,8-9,12-13,4-5,14-15
+    got = bench._compose_cpuset(scout, 8, calib, 1.25)
+    assert got == "2-3,4-5,8-9,12-13"
+    assert bench._compose_cpuset(scout, 2, calib, 1.25) == "2-3"
+    # only 2 clean pairs -> cannot compose 8 cores
+    scout_sick = [(r, 9.9) for r, _ in scout[:6]] + scout[6:]
+    assert bench._compose_cpuset(scout_sick, 8, calib, 1.25) is None
+    # odd core count unsupported
+    assert bench._compose_cpuset(scout, 7, calib, 1.25) is None
