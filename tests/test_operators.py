@@ -346,7 +346,16 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
     distributed k-means steps must spread the centroids toward the real
     clusters and STRICTLY raise recall, with a hard floor above the
     seed-only ceiling. Deterministic end to end (fixed jitter, rounded
-    means)."""
+    means).
+
+    The in-cluster jitter must be WIDE (±3.5 around centers 10 apart):
+    with tiny jitter, cluster-mates are near-duplicates whose cosine
+    ordering over the 16 degenerate seeds is identical, so even the
+    degenerate quantizer co-locates each cluster in one cell and
+    seed-only recall ties the refined run (measured: both 56/60 at
+    ±0.5, vs 0.78 -> 0.95 at ±3.5 — wide jitter makes cluster-mates
+    scatter across seed cells, which is exactly the failure Lloyd
+    refinement exists to fix)."""
     import random
     rnd = random.Random(11)
     dim, n_clusters, per = 8, 6, 60
@@ -355,7 +364,7 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
         center = [10.0 if d == c else 0.0 for d in range(dim)]
         for j in range(per):
             vid = c * per + j
-            rows.append((vid, [center[d] + rnd.uniform(-0.5, 0.5)
+            rows.append((vid, [center[d] + rnd.uniform(-3.5, 3.5)
                                for d in range(dim)]))
     # degenerate seeds: ids 0..15 are all cluster-0 members already
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -371,7 +380,8 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
 
     r0, r2 = recall(0), recall(2)
     assert r2 > r0, f"refinement did not improve recall: {r0} -> {r2}"
-    assert r2 >= 0.8, f"refined recall too low: {r2}"
+    assert r2 - r0 >= 0.05, f"improvement not material: {r0} -> {r2}"
+    assert r2 >= 0.9, f"refined recall too low: {r2}"
     # determinism: the refined run reproduces itself exactly
     a = sorted(map(tuple, S.ivf_topk(df, q, k=10, n_centroids=16, nprobe=2,
                                      kmeans_iters=2).collect()))
