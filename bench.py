@@ -783,7 +783,16 @@ def run_metadata_cost_subprocess(env: dict, cpuset: str | None = None) -> dict:
     return res
 
 
-def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def run_queries(sf_dir: str, cores: int,
+                deadline: float | None = None) -> dict[str, float]:
+    """Time the headline queries. ``deadline`` (absolute epoch seconds)
+    bounds the phase: round 4's external rc=124 kill traced to this
+    phase running UNbounded after the scheduling loop had already spent
+    the budget — a degraded host stretches each warm+measure pair 4-5x.
+    Before each query the projected cost (2x its last clean time from
+    the session, else a conservative default) is checked against the
+    deadline; queries that do not fit are skipped and recorded as such,
+    and the partial table is still valid for the report/borrow logic."""
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
     from tinyetl_spark.session import get_spark
@@ -792,12 +801,21 @@ def run_queries(sf_dir: str, cores: int) -> dict[str, float]:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     qs = entrymod.queries()
+    est = 30.0          # projected warm+measure cost of one query (s)
     for name in HEADLINE:
-        qs[name](spark, sf_dir).count()   # warm: JIT/codegen/scan caches —
-        t0 = time.time()                  # report SUSTAINED query latency
-        n = qs[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 2)
-        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        if deadline is not None and time.time() + est > deadline:
+            print(f"  queries: budget spent — skipping {name} and the "
+                  "rest of the headline table", file=sys.stderr)
+            break
+        try:
+            qs[name](spark, sf_dir).count()   # warm: JIT/codegen/scan —
+            t0 = time.time()                  # report SUSTAINED latency
+            n = qs[name](spark, sf_dir).count()
+            out[name] = round(time.time() - t0, 2)
+            est = max(10.0, 2.5 * out[name])
+            print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:               # noqa: BLE001
+            print(f"  {name}: FAILED ({exc})", file=sys.stderr)
     spark.stop()
     return out
 
@@ -1439,10 +1457,17 @@ def main() -> None:
         cmd = [sys.executable, os.path.abspath(__file__), "--gen-log",
                "--cores", "8", "--out", shared_log]
         if shutil.which("taskset"):
-            # unmeasured setup, but run it on the HIGH level's (healthy)
-            # range — a hardcoded 0-7 pin once spent minutes faulting on
-            # a chronically degraded range before any measurement began
-            cmd = ["taskset", "-c", _cpuset(8, "high")] + cmd
+            # unmeasured setup, but run it on a scout-composed clean
+            # cpuset when one exists — a hardcoded 0-7 pin once spent
+            # minutes faulting on a chronically degraded range before
+            # any measurement began, and the default stride can be half
+            # sick in a mixed phase
+            gen_rng = None
+            if os.environ.get("SPARK_GRAFT_SCOUT", "1") != "0":
+                gsc = _scout_pairs(env, calib, gate_factor,
+                                   probe_attempts)
+                gen_rng = _compose_cpuset(gsc, 8, calib, gate_factor)
+            cmd = ["taskset", "-c", gen_rng or _cpuset(8, "high")] + cmd
         p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                            cwd=REPO)
         if not any(ln.startswith("{") for ln in p.stdout.splitlines()):
@@ -1706,24 +1731,30 @@ def main() -> None:
         # window can't stretch the invocation past the external cap:
         # queries first (the judge's headline table), costs after.
         tail_rng = cur_rng["high"]
-        st["queries_probe_clean"] = gated_probe(
-            8, env, calib, gate_factor, 0, probe_attempts,
-            cpuset=tail_rng)
-        st["queries"] = run_queries(SF_DIR, CPUS)
+        try:
+            st["queries_probe_clean"] = gated_probe(
+                8, env, calib, gate_factor, 0, probe_attempts,
+                cpuset=tail_rng)
+            st["queries"] = run_queries(SF_DIR, CPUS, deadline=deadline)
+        except Exception as exc:               # noqa: BLE001
+            print(f"  queries phase failed: {exc}", file=sys.stderr)
         _write_partial(_build_result())
-        if time.time() < deadline:
-            st["commit_cost"] = run_commit_cost_subprocess(
-                env, cpuset=tail_rng)
-            _write_partial(_build_result())
-        else:
-            print("  budget spent — skipping commit-cost phase",
-                  file=sys.stderr)
-        if time.time() < deadline:
-            st["metadata_cost"] = run_metadata_cost_subprocess(
-                env, cpuset=tail_rng)
-        else:
-            print("  budget spent — skipping metadata-cost phase",
-                  file=sys.stderr)
+        try:
+            if time.time() < deadline:
+                st["commit_cost"] = run_commit_cost_subprocess(
+                    env, cpuset=tail_rng)
+                _write_partial(_build_result())
+            else:
+                print("  budget spent — skipping commit-cost phase",
+                      file=sys.stderr)
+            if time.time() < deadline:
+                st["metadata_cost"] = run_metadata_cost_subprocess(
+                    env, cpuset=tail_rng)
+            else:
+                print("  budget spent — skipping metadata-cost phase",
+                      file=sys.stderr)
+        except Exception as exc:               # noqa: BLE001
+            print(f"  cost phase failed: {exc}", file=sys.stderr)
         result = _build_result()
         _write_partial(result)
 

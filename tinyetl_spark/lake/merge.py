@@ -99,6 +99,9 @@ class MergeStats:
     fenced: bool = False
     snapshot_version: int | None = None
     strategy: str = "cow"
+    # set by the pipeline's dead-letter split (streaming/quarantine.py),
+    # not by merge_apply itself: rows diverted BEFORE the merge saw them
+    events_quarantined: int = 0
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)

@@ -218,7 +218,8 @@ class LakeTable:
                new_schema: StructType | None = None,
                properties: dict[str, Any] | None = None,
                lineage: list[dict[str, Any]] | None = None,
-               expected_base: int | None = None) -> Snapshot:
+               expected_base: int | None = None,
+               num_buckets: int | None = None) -> Snapshot:
         base = self.snapshot()
         # Validated swap: ``files`` was computed against ``expected_base``;
         # if someone committed in between, blindly committing would silently
@@ -238,7 +239,8 @@ class LakeTable:
         props.update(properties or {})
         snap = Snapshot(
             version=base.version + 1, schema_version=sv, schemas=schemas,
-            num_buckets=base.num_buckets, key_col=base.key_col, files=files,
+            num_buckets=num_buckets or base.num_buckets,
+            key_col=base.key_col, files=files,
             summary=summary, properties=props, parent=base.version,
             timestamp_ms=int(time.time() * 1000), lineage=lineage or [],
         )
@@ -488,7 +490,8 @@ class LakeTable:
                             f"snap-{snap_version}-{_uuid.uuid4().hex[:8]}")
 
     def write_files(self, df_with_extras: DataFrame, out_dir: str,
-                    slots: int, buckets: set[int] | None = None) -> None:
+                    slots: int, buckets: set[int] | None = None,
+                    num_buckets: int | None = None) -> None:
         """ONE linear job: route each ``_bucket`` to a CHOSEN partition
         via inverse-murmur3 keys (hash-repartitioning on the bucket id
         itself is balls-in-bins — ~1/e of partitions end up empty and
@@ -501,7 +504,7 @@ class LakeTable:
         for many small partitions; bucketing is recorded in the manifest
         instead."""
         from tinyetl_spark.lake.merge import _slotkey_column
-        nb = self.snapshot().num_buckets
+        nb = num_buckets or self.snapshot().num_buckets
         if buckets is not None:
             assign = {b: i % slots for i, b in enumerate(sorted(buckets))}
         else:
@@ -613,15 +616,114 @@ class LakeTable:
                 "deleted_files": removed_files,
                 "oldest_kept": cutoff}
 
-    def compact(self, target_file_mb: int = 256) -> Snapshot:
+    def compact(self, target_file_mb: int = 256,
+                cluster_by_ts: bool = False,
+                files_per_bucket: int = 1) -> Snapshot:
         """Rewrite all live data into one file-set — bounds small-file
         accumulation from many micro-batch commits (Iceberg rewrite_data_files
-        analogue). Run out-of-band, not on the streaming hot path."""
+        analogue). Run out-of-band, not on the streaming hot path.
+
+        ``cluster_by_ts`` time-clusters the rewrite (Iceberg sort-order
+        rewrite analogue): rows are sorted by ``warc_ts`` within each
+        bucket's output, so parquet row-group min/max stats let a pushed
+        time predicate skip row groups inside big files. With
+        ``files_per_bucket`` > 1 each bucket is additionally split into
+        that many TIME-RANGED files (ntile over warc_ts within the
+        bucket), giving the manifest's file-level zone maps
+        (``ts_range``) disjoint ranges to prune on — a time-window read
+        after compaction touches ~1/files_per_bucket of each bucket's
+        data instead of all of it. The split is routed exactly (one sort
+        partition per bucket×slice via the inverse-murmur3 slot keys),
+        never hash balls-in-bins, so every output file covers exactly
+        one bucket and one contiguous time range."""
         base_v = self.current_version()
         df = self.read(include_tombstones=True)
-        entries = self.write_data(df, base_v + 1)
-        return self.commit(files=entries, summary={"operation": "compact"},
-                           expected_base=base_v)
+        if not cluster_by_ts or "warc_ts" not in df.columns:
+            entries = self.write_data(df, base_v + 1)
+            return self.commit(files=entries,
+                               summary={"operation": "compact"},
+                               expected_base=base_v)
+        from pyspark.sql import Window
+
+        from tinyetl_spark.lake.merge import _slotkey_column
+        snap = self.snapshot()
+        nb, k = snap.num_buckets, max(int(files_per_bucket), 1)
+        out_dir = self.new_data_dir(base_v + 1)
+        df = df.withColumn("_bucket", self.bucket_expr())
+        if k > 1:
+            w = Window.partitionBy("_bucket").orderBy("warc_ts")
+            df = df.withColumn("_slice", F.ntile(k).over(w) - 1)
+        else:
+            df = df.withColumn("_slice", F.lit(0))
+        # composite (bucket, slice) id routed exactly: one sort
+        # partition per output file, so each file's zone map is one
+        # bucket × one contiguous time range
+        cid = (F.col("_bucket") * k + F.col("_slice")).alias("_cid")
+        slots = nb * k
+        assign = {c: c % slots for c in range(slots)}
+        (df.withColumn("_realb", F.col("_bucket"))
+           .withColumn("_bucket", cid)
+           .withColumn("_slotkey", _slotkey_column(slots, slots, assign))
+           .withColumn("_bucket", F.col("_realb"))
+           .repartition(slots, "_slotkey")
+           .sortWithinPartitions("warc_ts")
+           .drop("_slotkey", "_realb", "_slice")
+           .write.mode("append").parquet(out_dir))
+        entries, _ = self.readback_entries(out_dir)
+        total = sum(int(e.get("rows") or 0) for e in entries)
+        return self.commit(
+            files=entries,
+            summary={"operation": "compact", "clustered_by": "warc_ts",
+                     "files_per_bucket": k,
+                     "active_buckets": snap.summary.get(
+                         "active_buckets", 0),
+                     "total_rows": total},
+            expected_base=base_v)
+
+    def rescale_buckets(self, new_num_buckets: int) -> Snapshot:
+        """Bucket-count evolution (Iceberg partition-spec evolution +
+        full rewrite). A bucket count chosen at table creation cannot
+        survive 1000x growth: at 10^10 rows a 16-bucket table puts
+        ~6×10^8 rows behind every merge sort partition — the stage tail
+        IS the pipeline. Rescaling rewrites the resolved table state
+        (LWW winners + live tombstones) under
+        ``pmod(xxhash64(key), new_n)`` in ONE exact-routed job and
+        commits the new count atomically with the new file set, so
+        every later reader/writer/pruner derives the same routing from
+        the snapshot it reads — there is never a moment when data files
+        and bucket spec disagree.
+
+        O(table) and out-of-band by design (like ``compact``): the CDC
+        stream keeps merging against the old spec until the commit
+        lands, then the next batch picks up the new spec from its fresh
+        snapshot read. Epoch fences live in table properties and carry
+        through, so exactly-once replay protection survives the
+        rescale; lineage resets (it is per-spec by construction) and the
+        skew detector re-learns from the next commit's lineage."""
+        base_v = self.current_version()
+        snap = self.snapshot(base_v)
+        new_n = int(new_num_buckets)
+        if new_n < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_n}")
+        if new_n == snap.num_buckets:
+            return snap
+        df = self.read(include_tombstones=True)
+        out_dir = self.new_data_dir(base_v + 1)
+        new_bucket = F.pmod(F.xxhash64(F.col(snap.key_col)), F.lit(new_n))
+        slots = min(new_n, max(
+            2 * self.spark.sparkContext.defaultParallelism, 8))
+        self.write_files(df.withColumn("_bucket", new_bucket), out_dir,
+                         slots, num_buckets=new_n)
+        entries, _ = self.readback_entries(out_dir)
+        total = sum(int(e.get("rows") or 0) for e in entries)
+        active = len({b for e in entries for b in e["buckets"]})
+        return self.commit(
+            files=entries,
+            summary={"operation": "rescale",
+                     "from_buckets": snap.num_buckets,
+                     "to_buckets": new_n,
+                     "active_buckets": active, "total_rows": total},
+            expected_base=base_v, num_buckets=new_n)
 
     def compact_deltas(self) -> Snapshot:
         """Absorb merge-on-read delta debt by rewriting ONLY the

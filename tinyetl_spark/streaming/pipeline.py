@@ -86,6 +86,10 @@ def run_pipeline(
     auto_compact_debt: int | None = 32,
     expire_every: int | None = None,
     expire_keep_last: int = 10,
+    quarantine_dir: str | None = None,
+    max_html_bytes: int | None = None,
+    auto_rescale_rows_per_bucket: int | None = None,
+    auto_rescale_max_buckets: int = 1 << 16,
 ) -> PipelineRun:
     """Start the CDC stream into an existing LakeTable at ``table_path``.
 
@@ -102,6 +106,23 @@ def run_pipeline(
       retention window shrinks accordingly). None disables (default:
       callers that time-travel or tail the CDF manage retention
       themselves).
+    - ``quarantine_dir``: dead-letter queue. Structurally invalid events
+      (null/empty url, null event_seq/warc_ts, unknown op, payloadless
+      non-delete, oversized html — see streaming/quarantine.py) are
+      diverted there per batch with machine-readable reasons instead of
+      poisoning the merge or being dropped silently; the write is
+      replay-idempotent (per-batch overwrite), so exactly-once survives.
+      None disables (default: trusted-log deployments pay zero cost).
+    - ``auto_rescale_rows_per_bucket``: bucket-count evolution on a
+      signal the merge already computes. When the table's mean rows per
+      bucket (total_rows / num_buckets, both from the committed
+      snapshot summary — zero extra jobs) crosses this threshold after
+      a batch, the bucket count DOUBLES via ``rescale_buckets`` (full
+      rewrite, O(table) — it stalls that one micro-batch, the price of
+      never letting per-bucket row counts grow unboundedly as the
+      stream runs from 10^6 toward 10^10 rows). Doubling halves the
+      mean, so the trigger naturally fires ~once per table doubling;
+      ``auto_rescale_max_buckets`` caps runaway growth. None disables.
     """
     table = LakeTable(spark, table_path)
     if not table.exists():
@@ -118,15 +139,32 @@ def run_pipeline(
     def apply_batch(batch_df, batch_id: int):
         # fresh handle per batch: foreachBatch may run on a recovered query
         t = LakeTable(spark, table_path)
+        n_quarantined = 0
+        if quarantine_dir is not None:
+            from tinyetl_spark.streaming.quarantine import (
+                DEFAULT_MAX_HTML_BYTES, split_quarantine, write_quarantine)
+            batch_df, rejects = split_quarantine(
+                batch_df, max_html_bytes or DEFAULT_MAX_HTML_BYTES)
+            n_quarantined = write_quarantine(rejects, quarantine_dir,
+                                             batch_id)
         stats = merge_apply(t, batch_df, batch_id, stream_id=stream_id,
                             extract=extract, transform_fn=transform_fn,
                             mode=merge_mode)
+        stats.events_quarantined = n_quarantined
         run_stats.append(stats)
         if auto_compact_debt is not None and not stats.fenced:
             snap = t.snapshot()
             debt = sum(1 for f in snap.files if f.get("delta"))
             if debt >= auto_compact_debt:
                 t.compact_deltas()
+        if auto_rescale_rows_per_bucket is not None and not stats.fenced:
+            snap = t.snapshot()
+            total = int(snap.summary.get("total_rows") or 0)
+            if (snap.num_buckets < auto_rescale_max_buckets
+                    and total / snap.num_buckets
+                    >= auto_rescale_rows_per_bucket):
+                t.rescale_buckets(min(snap.num_buckets * 2,
+                                      auto_rescale_max_buckets))
         if expire_every and (batch_id + 1) % expire_every == 0:
             t.expire_snapshots(keep_last=expire_keep_last)
 
@@ -230,5 +268,6 @@ def progress_summary(run: PipelineRun) -> dict[str, Any]:
         "deletes": sum(x.deletes for x in s),
         "dedup_drops": sum(x.dedup_drops for x in s),
         "fenced_batches": sum(1 for x in s if x.fenced),
+        "events_quarantined": sum(x.events_quarantined for x in s),
         "max_skew_ratio": max((x.skew_ratio for x in s), default=0.0),
     }
