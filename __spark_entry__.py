@@ -1095,9 +1095,16 @@ def oracle_sql() -> dict[str, str]:
                                               for i in generate_series(1, len(ws)-2)])
                           else [] end as sh
                    from w),
+            -- MinHash parity with operators/dedup.py:_band_df — one md5
+            -- per shingle, 12 universal-hash slots (a_i*h+b_i) mod P with
+            -- P=2^31-1, a_i=(2654435761*(i+1))%P, b_i=(40503*(i+1))%P
             sig as (select doc_id, sh,
-                     [list_min([md5(h || ':' || s) for s in sh])
-                      for h in ['0','1','2','3','4','5','6','7','8','9','10','11']] as sig
+                     [coalesce(list_min(
+                        [((2654435761*(i+1)) % 2147483647
+                          * (('0x' || substr(md5(s),1,8))::bigint % 2147483647)
+                          + (40503*(i+1)) % 2147483647) % 2147483647
+                         for s in sh]), 2147483647)::varchar
+                      for i in generate_series(0, 11)] as sig
                     from sh),
             bands as (
               select doc_id, sh, b.band,

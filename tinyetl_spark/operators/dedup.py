@@ -109,27 +109,54 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
                               shingles(F.col(text_col), k).alias("sh")))
 
 
+#: MinHash universal-hash family modulus (Mersenne prime 2^31-1). Base
+#: hash and all (a_i*h+b_i) products stay under 2^62, so plain 64-bit
+#: arithmetic is exact in both Spark and DuckDB — no overflow divergence.
+_MH_P = 2147483647
+
+
+def _mh_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, identical on
+    the oracle side (__spark_entry__.oracle_sql regenerates them with the
+    same formula — Knuth multiplicative constant and a fixed stride)."""
+    a = [(2654435761 * (i + 1)) % _MH_P for i in range(num_hashes)]
+    b = [(40503 * (i + 1)) % _MH_P for i in range(num_hashes)]
+    return a, b
+
+
 def _band_df(sh_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, bucket) rows from materialized shingles."""
+    import numpy as np
     rows_per_band = num_hashes // bands
-    # ONE traversal of the shingle array computing all num_hashes mins
-    # (fold a running-min array) instead of num_hashes sibling
-    # array_min(transform(...)) calls that each re-walk the array —
-    # same md5 count, 12x fewer passes and a far smaller expression tree.
-    # Init is "g" (> every md5 hex char), so an empty shingle set yields a
-    # constant signature — it groups exactly like the old all-NULL one.
+    # ONE md5 per shingle (the CPU hog at web scale — the previous scheme
+    # hashed every shingle num_hashes times, 12x the digest work for the
+    # same signature quality), then the num_hashes MinHash slots come from
+    # a universal-hash family (a_i*h + b_i) mod P over the 32-bit base
+    # digest prefix. The running-min fold walks the base array once.
+    # Init is P (> every residue), so an empty shingle set yields a
+    # constant signature — it groups exactly like the old sentinel one.
+    a_c, b_c = _mh_coeffs(num_hashes)
+    a_arr = F.lit(np.array(a_c, dtype=np.int64))
+    b_arr = F.lit(np.array(b_c, dtype=np.int64))
     hash_idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    bases = hof.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                   .cast("long") % F.lit(_MH_P))
     sig = hof.aggregate(
-        F.col("sh"), F.array_repeat(F.lit("g"), num_hashes),
-        lambda acc, s: hof.zip_with(
+        bases, F.array_repeat(F.lit(_MH_P).cast("long"), num_hashes),
+        lambda acc, h: hof.zip_with(
             acc, hash_idx,
             lambda m, i: F.least(
-                m, F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
+                m, (F.element_at(a_arr, i + 1) * h
+                    + F.element_at(b_arr, i + 1)) % F.lit(_MH_P))))
     base = sh_df.select("doc", sig.alias("sig"))
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("|", *[F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)]).alias("bucket"))
+                 F.concat_ws("|", *[
+                     F.element_at("sig", b * rows_per_band + r + 1)
+                      .cast("string")
+                     for r in range(rows_per_band)]).alias("bucket"))
         for b in range(bands)
     ])
     return (base.select("doc", F.explode(band_arr).alias("bb"))
