@@ -152,6 +152,104 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "event_seq"))
 
 
+def cdc_rescale_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution under load: merge two micro-batches into a
+    4-bucket table, rescale to 16 buckets (full exact-routed rewrite,
+    lake/table.py:rescale_buckets), merge two more batches against the
+    NEW spec, then time-cluster-compact. The oracle is the plain LWW
+    window SQL — identical to cdc_merge_final_state's — because the
+    whole point is that neither the rescale nor the compaction may
+    change a single visible row."""
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_rescale_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=4)
+        step = (n + 3) // 4
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i)
+            if i == 1:
+                table.rescale_buckets(16)
+        table.compact(cluster_by_ts=True, files_per_bucket=2)
+        assert table.snapshot().num_buckets == 16
+        out = (table.read()
+               .select("url", "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split (streaming/quarantine.py): deterministically
+    corrupt slices of the change stream (null/empty url, unknown op,
+    missing payload, null timestamp) and return the quarantined events
+    with their machine-readable reasons. The oracle restates each
+    structural rule independently in SQL."""
+    from tinyetl_spark.streaming.quarantine import split_quarantine
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    m = F.col("event_seq") % 13
+    corrupted = changes.select(
+        "event_seq",
+        F.when(m == 0, F.lit(None).cast("string"))
+         .when(m == 1, F.lit("")).otherwise(F.col("url")).alias("url"),
+        F.when(m == 4, F.lit(None).cast("timestamp"))
+         .otherwise(F.col("warc_ts")).alias("warc_ts"),
+        F.when(m == 2, F.lit("upsert")).otherwise(F.col("op")).alias("op"),
+        F.when(m == 3, F.lit(None).cast("binary"))
+         .otherwise(F.col("html")).alias("html"),
+        "lang")
+    valid, rejects = split_quarantine(corrupted)
+    n_valid = valid.count()
+    out = (rejects.select(
+              "event_seq",
+              F.array_join("_reject_reasons", ",").alias("reasons"),
+              F.lit(n_valid).alias("valid_rows"))
+           .orderBy("event_seq"))
+    return out
+
+
+QUARANTINE_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html
+  from events
+), corrupted as (
+  select event_seq,
+         case when event_seq % 13 = 0 then null
+              when event_seq % 13 = 1 then '' else url end as url,
+         case when event_seq % 13 = 4 then null else warc_ts end as warc_ts,
+         case when event_seq % 13 = 2 then 'upsert' else op end as op,
+         case when event_seq % 13 = 3 then null else html end as html
+  from changes
+), reasons as (
+  select event_seq,
+         (case when url is null then ['null_url'] else []::varchar[] end)
+      || (case when url is not null and len(url) = 0
+               then ['empty_url'] else []::varchar[] end)
+      || (case when event_seq is null
+               then ['null_event_seq'] else []::varchar[] end)
+      || (case when warc_ts is null
+               then ['null_warc_ts'] else []::varchar[] end)
+      || (case when op is null or op not in ('insert','update','delete')
+               then ['bad_op'] else []::varchar[] end)
+      || (case when op <> 'delete' and html is null
+               then ['missing_html'] else []::varchar[] end) as rs
+  from corrupted
+)
+select event_seq, array_to_string(rs, ',') as reasons,
+       (select count(*) from reasons where len(rs) = 0) as valid_rows
+from reasons where len(rs) > 0 order by event_seq
+"""
+
+
 def text_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/text.py canonical_url): messy
     urls are built deterministically from the events table (mixed case,
@@ -860,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_change_feed": cdc_change_feed,
         "cdc_scd2_history": cdc_scd2_history,
+        "cdc_rescale_state": cdc_rescale_state,
+        "cdc_quarantine_split": cdc_quarantine_split,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -906,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge_final_state": CDC_ORACLE,
+        "cdc_rescale_state": CDC_ORACLE,
+        "cdc_quarantine_split": QUARANTINE_ORACLE,
         "cdc_lww_latest": """
             with ranked as (
               select user_id, event_id, ts, event_type, round(value, 6) as value,
