@@ -59,6 +59,30 @@ options:
     assert "version: 1" in generate_default_config()
 
 
+def test_yaml_config_cdc_extensions(tmpdir_path):
+    p = f"{tmpdir_path}/job.yaml"
+    with open(p, "w") as f:
+        f.write("""
+version: 1
+source: {uri: ./events/}
+target: {uri: ./lake/pages}
+options:
+  mode: stream
+  checkpoint_dir: ./ck
+  quarantine_dir: ./dlq
+  auto_rescale_rows_per_bucket: 500000
+""")
+    cfg = JobConfig.from_yaml(p)
+    assert cfg.quarantine_dir == "./dlq"
+    assert cfg.auto_rescale_rows_per_bucket == 500000
+    # defaults stay None: trusted-log deployments pay zero cost
+    with open(p, "w") as f:
+        f.write("version: 1\nsource: {uri: ./a}\ntarget: {uri: ./b}\n")
+    cfg = JobConfig.from_yaml(p)
+    assert cfg.quarantine_dir is None
+    assert cfg.auto_rescale_rows_per_bucket is None
+
+
 def test_table_ref_split(tmpdir_path):
     p = f"{tmpdir_path}/job.yaml"
     with open(p, "w") as f:

@@ -247,3 +247,61 @@ def test_pipeline_auto_rescale_doubles_buckets(spark, tmpdir_path):
         for r in brute_force_state(ev).collect())
     # cap respected
     assert snap.num_buckets <= 1 << 16
+
+
+# ----------------------------------------------------------------- CLI
+
+def test_cli_maintain_rescale_and_clustered_compact(spark, tmpdir_path):
+    """The ops surface: `maintain --rescale-buckets N` and
+    `maintain --compact --cluster-by-ts --files-per-bucket K` drive the
+    same code paths from the command line."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    table = f"{tmpdir_path}/table"
+    t = LakeTable.create(spark, table, PAGES_SCHEMA, key_col="url",
+                         num_buckets=4)
+    ev = datagen.change_events(spark, 400, 120, seed=7)
+    merge_apply(t, ev, 0)
+    before = _state(t)
+
+    env = {**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "4"}
+    p = subprocess.run(
+        [sys.executable, "-m", "tinyetl_spark.cli", "maintain", table,
+         "--rescale-buckets", "8"],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert p.returncode == 0, p.stderr
+    assert "rescaled" in p.stdout and "8 buckets" in p.stdout
+
+    p = subprocess.run(
+        [sys.executable, "-m", "tinyetl_spark.cli", "maintain", table,
+         "--compact", "--cluster-by-ts", "--files-per-bucket", "2"],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert p.returncode == 0, p.stderr
+    assert "compacted" in p.stdout
+
+    t2 = LakeTable(spark, table)
+    snap = t2.snapshot()
+    assert snap.num_buckets == 8
+    assert snap.summary.get("clustered_by") == "warc_ts"
+    assert _state(t2) == before
+
+
+def test_rescale_absorbs_mor_delta_debt(spark, tmpdir_path):
+    """Rescaling a table that carries unresolved merge-on-read deltas
+    must fold the delta rows into the new base files (it reads the
+    RESOLVED state) and leave zero delta debt behind."""
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                         key_col="url", num_buckets=4)
+    ev = datagen.change_events(spark, 900, 150, seed=21)
+    merge_apply(t, ev.filter("event_seq < 600"), 0)
+    merge_apply(t, ev.filter("event_seq >= 600"), 1, mode="mor")
+    assert any(f.get("delta") for f in t.snapshot().files)  # debt exists
+
+    t.rescale_buckets(16)
+    snap = t.snapshot()
+    assert snap.num_buckets == 16
+    assert not any(f.get("delta") for f in snap.files)      # debt absorbed
+    assert _state(t) == sorted(
+        (r["url"], r["event_seq"])
+        for r in brute_force_state(ev).collect())

@@ -118,7 +118,9 @@ def cmd_run(cfg: JobConfig) -> int:
         stats = run_to_completion(
             spark, cfg.source.uri, cfg.target.uri, cfg.checkpoint_dir,
             max_files_per_trigger=cfg.max_files_per_trigger,
-            transform_fn=_transform_fn(cfg))
+            transform_fn=_transform_fn(cfg),
+            quarantine_dir=cfg.quarantine_dir,
+            auto_rescale_rows_per_bucket=cfg.auto_rescale_rows_per_bucket)
         n = sum(s.events_in for s in stats)
         el = time.time() - t0
         print(f"applied {n} events in {len(stats)} batches, "
@@ -144,6 +146,17 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("table")
     mt.add_argument("--compact", action="store_true",
                     help="rewrite live data into a fresh file-set")
+    mt.add_argument("--cluster-by-ts", action="store_true",
+                    help="with --compact: sort each bucket by warc_ts so "
+                         "row-group stats and file zone maps prune "
+                         "time-window reads")
+    mt.add_argument("--files-per-bucket", type=int, default=1,
+                    help="with --compact --cluster-by-ts: split each "
+                         "bucket into N time-ranged files")
+    mt.add_argument("--rescale-buckets", type=int, default=None,
+                    help="rewrite the table under a new bucket count "
+                         "(partition-spec evolution; O(table), run "
+                         "out-of-band)")
     mt.add_argument("--compact-deltas", action="store_true",
                     help="absorb merge-on-read delta files by rewriting "
                          "only the delta-touched buckets")
@@ -201,9 +214,14 @@ def main(argv: list[str] | None = None) -> int:
         if not t.exists():
             raise SystemExit(f"no lake table at {args.table}")
         if args.compact:
-            snap = t.compact()
+            snap = t.compact(cluster_by_ts=args.cluster_by_ts,
+                             files_per_bucket=args.files_per_bucket)
             print(f"compacted -> snapshot v{snap.version}, "
                   f"{len(snap.files)} files")
+        if args.rescale_buckets is not None:
+            snap = t.rescale_buckets(args.rescale_buckets)
+            print(f"rescaled -> snapshot v{snap.version}, "
+                  f"{snap.num_buckets} buckets, {len(snap.files)} files")
         if args.compact_deltas:
             snap = t.compact_deltas()
             print(f"delta-compacted -> snapshot v{snap.version}, "

@@ -92,6 +92,8 @@ class JobConfig:
     key_col: str = "url"
     num_buckets: int = 16
     max_files_per_trigger: int | None = None
+    quarantine_dir: str | None = None   # dead-letter queue for bad events
+    auto_rescale_rows_per_bucket: int | None = None  # bucket-spec growth
 
     @staticmethod
     def from_yaml(path: str) -> "JobConfig":
@@ -129,6 +131,10 @@ class JobConfig:
             num_buckets=int(opts.get("num_buckets", 16)),
             max_files_per_trigger=(int(opts["max_files_per_trigger"])
                                    if "max_files_per_trigger" in opts else None),
+            quarantine_dir=opts.get("quarantine_dir"),
+            auto_rescale_rows_per_bucket=(
+                int(opts["auto_rescale_rows_per_bucket"])
+                if "auto_rescale_rows_per_bucket" in opts else None),
         )
 
 
@@ -149,4 +155,6 @@ options:
   infer_schema: true
   # transform: "text_len = length(text); lang_up = upper(lang)"
   # schema_file: ./schema.yaml
+  # quarantine_dir: ./quarantine    # dead-letter queue for bad events
+  # auto_rescale_rows_per_bucket: 1000000  # double buckets past this mean
 """
