@@ -20,7 +20,8 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "cdc_lww_latest", "q_orders_above_cust_avg", "q_user_running_value",
          "q_set_ops", "q_window_ranks",
          "q_string_agg_regions", "q_daily_event_rollup",
-         "cdc_scd2_history"]
+         "cdc_scd2_history", "cdc_quarantine_split",
+         "dedup_minhash_jaccard"]
 
 
 def audit(name, df):
