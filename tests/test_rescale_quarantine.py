@@ -305,3 +305,51 @@ def test_rescale_absorbs_mor_delta_debt(spark, tmpdir_path):
     assert _state(t) == sorted(
         (r["url"], r["event_seq"])
         for r in brute_force_state(ev).collect())
+
+
+def test_rescale_property_random_interleaving(spark, tmpdir_path):
+    """Property check (hypothesis): a rescale interleaved at a RANDOM
+    point in a random batch/strategy sequence — to a random target count
+    (power-of-two or coprime with the old spec) — never changes the
+    converged LWW state, and replay fencing survives the new spec."""
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_merge import assert_state_equal, make_table
+    ev = datagen.change_events(spark, 400, 60, seed=77).persist()
+    ev.count()
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def run(data):
+        n_batches = data.draw(st.integers(2, 4), label="n_batches")
+        cuts = sorted(data.draw(
+            st.lists(st.integers(1, 399), min_size=n_batches - 1,
+                     max_size=n_batches - 1, unique=True), label="cuts"))
+        bounds = [0, *cuts, 400]
+        modes = data.draw(st.lists(st.sampled_from(["auto", "cow", "mor"]),
+                                   min_size=n_batches, max_size=n_batches),
+                          label="modes")
+        rescale_at = data.draw(st.integers(0, n_batches - 1),
+                               label="rescale_at")
+        new_n = data.draw(st.sampled_from([2, 3, 16, 17, 32]),
+                          label="new_buckets")
+        path = f"{tmpdir_path}/t_{uuid.uuid4().hex[:8]}"
+        t = make_table(spark, path, buckets=8)
+        for i in range(n_batches):
+            b = ev.filter(f"event_seq >= {bounds[i]} and "
+                          f"event_seq < {bounds[i+1]}")
+            merge_apply(t, b, i, mode=modes[i])
+            if i == rescale_at:
+                t.rescale_buckets(new_n)
+                # replay across the spec change: must still fence
+                s = merge_apply(t, b, i, mode=modes[i])
+                assert s.fenced
+        assert t.snapshot().num_buckets == (new_n if new_n != 8 else 8)
+        assert_state_equal(t, ev)
+
+    run()
+    ev.unpersist()
