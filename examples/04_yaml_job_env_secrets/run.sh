@@ -22,13 +22,17 @@ options:
   transform: "plan_up = upper(plan)"
 EOF
 
-# preview prints both schemas, writes nothing
-etl run job.yaml --preview 3 | grep -q "output schema" || {
+# preview prints both schemas, writes nothing. Capture then grep:
+# piping straight into `grep -q` under pipefail SIGPIPEs the CLI when
+# grep exits on the first match, failing the pipeline spuriously.
+preview_out="$(etl run job.yaml --preview 3)"
+grep -q "output schema" <<<"$preview_out" || {
   echo "FAIL: preview did not print output schema" >&2; exit 1; }
 [ ! -e "$OUT_DIR" ] || { echo "FAIL: preview wrote output" >&2; exit 1; }
 
 # dry-run connects + resolves schema, still writes nothing
-etl run job.yaml --dry-run | grep -q "dry-run ok" || {
+dry_out="$(etl run job.yaml --dry-run)"
+grep -q "dry-run ok" <<<"$dry_out" || {
   echo "FAIL: dry-run did not report ok" >&2; exit 1; }
 [ ! -e "$OUT_DIR" ] || { echo "FAIL: dry-run wrote output" >&2; exit 1; }
 
