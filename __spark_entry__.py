@@ -184,6 +184,120 @@ def cdc_rescale_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: run all four micro-batches,
+    then read AS OF the second commit. The oracle is the LWW window over
+    only the first two batches' events — history must be bit-stable no
+    matter how many commits (including a compaction) land afterwards."""
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_tt_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        v_after_2 = None
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i)
+            if i == 1:
+                v_after_2 = table.current_version()
+        table.compact()   # later rewrites must not disturb history
+        out = (table.read(version=v_after_2)
+               .select("url", "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TIME_TRAVEL_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html,
+         'en' as lang
+  from events
+), prefix as (
+  -- the first two of four event-seq-range micro-batches
+  select * from changes
+  where event_seq < 2 * ((((select max(event_id) from events) + 1) + 3) // 4)
+), ranked as (
+  select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+  from prefix
+)
+select url, event_seq, warc_ts,
+       case when html is null then null
+            else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text,
+       lang
+from ranked where rn = 1 and op <> 'delete'
+"""
+
+
+def cdc_matview_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (streaming/matview.py): four merge
+    commits into a multi-domain pages table, with an incremental
+    touched-group refresh after EVERY commit; returns the final view
+    rows. The oracle recomputes the same rollup from scratch over the
+    LWW winners — incremental maintenance must equal full recompute."""
+    from tinyetl_spark.streaming.matview import create_view, refresh_view
+    uid = F.regexp_extract("url", r"/u/(\d+)$", 1).cast("long")
+    changes = (_events_as_changes(_t(spark, sf_dir, "events"))
+               .withColumn("url", F.concat(
+                   F.lit("https://d"), (uid % 7).cast("string"),
+                   F.lit(".example/u/"), uid.cast("string"))))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_mv_")
+    try:
+        src = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                               key_col="url", num_buckets=8)
+        view = create_view(spark, f"{work}/view")
+        step = (n + 3) // 4
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(src, batch, i)
+            refresh_view(spark, src, view)
+        out = (view.read()
+               .select(F.col("url").alias("domain"),
+                       "page_count", "text_bytes")
+               .orderBy("domain"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+MATVIEW_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://d' || (user_id % 7) || '.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html
+  from events
+), ranked as (
+  select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+  from changes
+), live as (
+  select url,
+         case when html is null then null
+              else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text
+  from ranked where rn = 1 and op <> 'delete'
+)
+select regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) as domain,
+       count(*)::bigint as page_count,
+       coalesce(sum(len(text)), 0)::bigint as text_bytes
+from live
+group by domain
+order by domain
+"""
+
+
 def cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter split (streaming/quarantine.py): deterministically
     corrupt slices of the change stream (null/empty url, unknown op,
@@ -960,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": cdc_scd2_history,
         "cdc_rescale_state": cdc_rescale_state,
         "cdc_quarantine_split": cdc_quarantine_split,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_matview_domain_stats": cdc_matview_domain_stats,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1008,6 +1124,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_final_state": CDC_ORACLE,
         "cdc_rescale_state": CDC_ORACLE,
         "cdc_quarantine_split": QUARANTINE_ORACLE,
+        "cdc_time_travel": TIME_TRAVEL_ORACLE,
+        "cdc_matview_domain_stats": MATVIEW_ORACLE,
         "cdc_lww_latest": """
             with ranked as (
               select user_id, event_id, ts, event_type, round(value, 6) as value,
