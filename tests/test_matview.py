@@ -92,3 +92,42 @@ def test_matview_refresh_covers_multiple_src_commits(spark, tmpdir_path):
     s = refresh_view(spark, src, view)
     assert s is not None
     assert _got(view) == _expected(src)
+
+
+def test_pipeline_refreshes_matview_inline(spark, tmpdir_path):
+    """matview_dirs: the stream refreshes the view after each batch and
+    the final view equals a from-scratch recompute."""
+    from tinyetl_spark.sources.eventlog import append_events
+    from tinyetl_spark.streaming.pipeline import run_to_completion
+    src_path = f"{tmpdir_path}/src"
+    LakeTable.create(spark, src_path, PAGES_SCHEMA,
+                     key_col="url", num_buckets=4)
+    view = create_view(spark, f"{tmpdir_path}/view")
+    ev = _mk_events(spark, 500, 100, seed=17)
+    append_events(ev, f"{tmpdir_path}/log", segment_partitions=4)
+    run_to_completion(spark, f"{tmpdir_path}/log", src_path,
+                      f"{tmpdir_path}/ckpt", max_files_per_trigger=2,
+                      matview_dirs=[f"{tmpdir_path}/view"])
+    src = LakeTable(spark, src_path)
+    assert _got(view) == _expected(src)
+    # view advanced past several source commits
+    assert view.current_version() >= 2
+
+
+def test_cli_materialize(spark, tmpdir_path):
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = LakeTable.create(spark, f"{tmpdir_path}/src", PAGES_SCHEMA,
+                           key_col="url", num_buckets=4)
+    merge_apply(src, _mk_events(spark, 200, 40, seed=3), 0)
+    env = {**os.environ, "PYTHONPATH": repo, "SPARK_GRAFT_CPUS": "4"}
+    args = [sys.executable, "-m", "tinyetl_spark.cli", "materialize",
+            f"{tmpdir_path}/src", f"{tmpdir_path}/view"]
+    p = subprocess.run(args, capture_output=True, text=True,
+                       cwd=repo, env=env)
+    assert p.returncode == 0, p.stderr
+    assert "refreshed" in p.stdout and "group upserts" in p.stdout
+    view = LakeTable(spark, f"{tmpdir_path}/view")
+    assert _got(view) == _expected(src)

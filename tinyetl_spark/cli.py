@@ -165,6 +165,13 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--metrics", action="store_true",
                     help="print merge metrics + per-bucket lineage")
 
+    mv = sub.add_parser("materialize",
+                        help="create/refresh an incremental aggregate view "
+                             "(pages + text bytes per domain) over a lake "
+                             "table's change feed")
+    mv.add_argument("source")
+    mv.add_argument("view")
+
     rp = sub.add_parser("replicate",
                         help="mirror a lake table by tailing its change feed")
     rp.add_argument("source")
@@ -204,6 +211,25 @@ def main(argv: list[str] | None = None) -> int:
         applied = sum(s.events_in for s in stats if not s.fenced)
         print(f"replicated {applied} change rows in {len(stats)} "
               f"micro-batches -> {args.target}")
+        return 0
+
+    if args.cmd == "materialize":
+        from tinyetl_spark.lake import LakeTable
+        from tinyetl_spark.streaming.matview import create_view, refresh_view
+        spark = get_spark(app_name="tinyetl-materialize")
+        spark.sparkContext.setLogLevel("ERROR")
+        src = LakeTable(spark, args.source)
+        if not src.exists():
+            raise SystemExit(f"no lake table at {args.source}")
+        view = LakeTable(spark, args.view)
+        if not view.exists():
+            view = create_view(spark, args.view)
+        s = refresh_view(spark, src, view)
+        if s is None:
+            print(f"view already current at source v{src.current_version()}")
+        else:
+            print(f"refreshed {args.view} to source v{s.batch_id}: "
+                  f"{s.upserts} group upserts, {s.deletes} deletes")
         return 0
 
     if args.cmd == "maintain":

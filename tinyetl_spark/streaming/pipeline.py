@@ -90,6 +90,8 @@ def run_pipeline(
     max_html_bytes: int | None = None,
     auto_rescale_rows_per_bucket: int | None = None,
     auto_rescale_max_buckets: int = 1 << 16,
+    matview_dirs: list[str] | None = None,
+    matview_every: int = 1,
 ) -> PipelineRun:
     """Start the CDC stream into an existing LakeTable at ``table_path``.
 
@@ -123,6 +125,13 @@ def run_pipeline(
       stream runs from 10^6 toward 10^10 rows). Doubling halves the
       mean, so the trigger naturally fires ~once per table doubling;
       ``auto_rescale_max_buckets`` caps runaway growth. None disables.
+    - ``matview_dirs``: incremental materialized views
+      (streaming/matview.py) refreshed inline every ``matview_every``
+      batches. Each is a lake table created via ``matview.create_view``;
+      refresh is exactly-once in its own right (fenced on the source
+      snapshot version), so a crashed-and-replayed batch refreshes
+      once. A skipped cadence only delays — each refresh catches up on
+      every source commit since the last one. None disables.
     """
     table = LakeTable(spark, table_path)
     if not table.exists():
@@ -165,6 +174,10 @@ def run_pipeline(
                     >= auto_rescale_rows_per_bucket):
                 t.rescale_buckets(min(snap.num_buckets * 2,
                                       auto_rescale_max_buckets))
+        if matview_dirs and (batch_id + 1) % max(matview_every, 1) == 0:
+            from tinyetl_spark.streaming.matview import refresh_view
+            for mv in matview_dirs:
+                refresh_view(spark, t, LakeTable(spark, mv))
         if expire_every and (batch_id + 1) % expire_every == 0:
             t.expire_snapshots(keep_last=expire_keep_last)
 
