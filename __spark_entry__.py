@@ -1048,6 +1048,28 @@ def q_connector_roundtrip(spark, sf_dir):
                        "value", "props").orderBy("event_id")
 
 
+def q_duckdb_roundtrip(spark, sf_dir):
+    """Same lossless-roundtrip contract as q_connector_roundtrip but
+    through the DuckDB connector (sources/duckdb_py.py): batched sink →
+    rowid-range partitioned source. A green row proves the second
+    DBAPI-family connector end-to-end in the oracle gate, not just in
+    pytest."""
+    import tempfile
+
+    from tinyetl_spark.sources.duckdb_py import read_duckdb, write_duckdb
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 20 == 1)
+          .select("event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"),
+                  "user_id", "event_type", "value", "props"))
+    db = tempfile.mktemp(suffix=".duckdb", prefix="tinyetl_rt_")
+    write_duckdb(ev, db, "events_rt", truncate=True)
+    back = read_duckdb(spark, db, "events_rt", num_partitions=4)
+    return back.select("event_id", "ts_us", "user_id", "event_type",
+                       "value", "props").orderBy("event_id")
+
+
 # ----------------------------------------------------------- contract API
 
 def release_caches() -> int:
@@ -1116,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_segments": stream_enriched_segments,
         "multimodal_features": multimodal_features,
         "q_connector_roundtrip": q_connector_roundtrip,
+        "q_duckdb_roundtrip": q_duckdb_roundtrip,
     }
 
 
@@ -1687,6 +1710,12 @@ def oracle_sql() -> dict[str, str]:
             select event_id, epoch_us(ts) as ts_us, user_id, event_type,
                    value, props
             from events where event_id % 20 = 0
+            order by event_id
+        """,
+        "q_duckdb_roundtrip": """
+            select event_id, epoch_us(ts) as ts_us, user_id, event_type,
+                   value, props
+            from events where event_id % 20 = 1
             order by event_id
         """,
     }
