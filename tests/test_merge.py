@@ -522,3 +522,28 @@ def test_hot_bucket_skew_split_power_of_two(spark, tmpdir_path):
     rows_per_split = [f["rows"] for f in hot_files]
     assert max(rows_per_split) <= 3 * min(rows_per_split)
     assert_state_equal(t, b0.union(b1))
+
+
+def test_multi_stream_fan_in_fences_independently(spark, tmpdir_path):
+    """Two change streams (two WAL shards) merging into ONE table: the
+    epoch fence is per-stream (fence.<stream_id>), so shard A's batch 1
+    does not fence shard B's batch 1, replays fence within their own
+    shard only, and the table converges to LWW over the union."""
+    ev = datagen.change_events(spark, 800, 120, seed=55)
+    a = ev.filter("event_seq % 2 = 0")
+    b = ev.filter("event_seq % 2 = 1")
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=8)
+    for i in range(2):
+        ba = a.filter(f"event_seq >= {i * 400} and event_seq < {(i+1) * 400}")
+        bb = b.filter(f"event_seq >= {i * 400} and event_seq < {(i+1) * 400}")
+        sa = merge_apply(t, ba, i, stream_id="shard_a")
+        sb = merge_apply(t, bb, i, stream_id="shard_b")   # same batch id!
+        assert not sa.fenced and not sb.fenced
+        # replaying shard A's batch fences A but must NOT have consumed
+        # B's number, and vice versa
+        assert merge_apply(t, ba, i, stream_id="shard_a").fenced
+        assert merge_apply(t, bb, i, stream_id="shard_b").fenced
+    assert_state_equal(t, ev)
+    props = t.snapshot().properties
+    assert int(props["fence.shard_a"]) == 1
+    assert int(props["fence.shard_b"]) == 1
