@@ -172,7 +172,11 @@ def main() -> None:
     out = {
         "protocol": "spark-submit --py-files, local-cluster[1,2,2048] vs "
                     "local-cluster[4,2,2048] (N=1 vs 4N=4 executor JVMs, "
-                    "2 cores each), same pre-generated event log",
+                    "2 cores each), same pre-generated event log; "
+                    "events_per_sec = SUSTAINED rate over summed per-batch "
+                    "triggerExecution (primary-protocol definition, "
+                    "bench.py _cdc_round), wall rate kept as "
+                    "events_per_sec_wall",
         "log": log_dir,
         "rounds": {lbl: samples[lbl] for lbl, *_ in LEVELS},
         "median_eps_gated": {"n1": lo_g, "n4": hi_g},
