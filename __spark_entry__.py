@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tinyetl_spark.lake import LakeTable, merge_apply
 from tinyetl_spark.operators import dedup as D
+from tinyetl_spark.operators import sampling as SA
 from tinyetl_spark.operators import similarity as S
 from tinyetl_spark.operators import text as T
 from tinyetl_spark.schema import PAGES_SCHEMA
@@ -669,6 +670,76 @@ def simhash_near_dups(spark, sf_dir):
              .orderBy("doc_a", "doc_b"))
 
 
+def dedup_cluster_canonical(spark, sf_dir):
+    """Cluster-level dedup via connected components (round 5).
+
+    Pairwise near-dup output under-deletes on chains (A~B, B~C keeps
+    both A and C); the fix is CC over the dup graph keeping one
+    canonical doc per component (operators/components.py, the
+    large-star/small-star alternation). The graph here is deliberately
+    chain-shaped so pairwise drop-one would give the WRONG answer:
+    consecutive-id edges inside each exact-fingerprint group (corpus =
+    docs + full copy at +1e6 + every-3rd copy at +2e6 → paths of
+    length 2-3), plus bridge edges (doc i, doc i+1) for i%100==0 that
+    merge DIFFERENT fingerprint groups into one cluster. The DuckDB
+    oracle recomputes components with a recursive-CTE min-label walk."""
+    from pyspark.sql import Window
+    from tinyetl_spark.operators import components as C
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (d.unionByName(
+                  d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                           "text"))
+               .unionByName(
+                  d.filter(F.col("doc_id") % 3 == 0)
+                   .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                           "text")))
+    fps = corpus.select("doc_id",
+                        F.md5(T.norm_text(F.col("text"))).alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    chain = (fps.withColumn("prev", F.lag("doc_id").over(w))
+                .filter(F.col("prev").isNotNull())
+                .select(F.col("prev").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b")))
+    bridges = (d.alias("a")
+                .join(d.alias("b"),
+                      F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                .filter(F.col("a.doc_id") % 100 == 0)
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b")))
+    out = C.dedup_canonical(fps.select("doc_id"),
+                            chain.unionByName(bridges), "doc_id")
+    return (out.select("doc_id", "component",
+                       F.col("is_canonical").cast("int")
+                        .alias("is_canonical"))
+               .orderBy("doc_id"))
+
+
+def sample_training_mix(spark, sf_dir):
+    """Deterministic per-language training-mix sampling (round 5,
+    operators/sampling.py): stratum rates en=0.5 zh=0.25 default=0.1
+    applied as integer hash-bucket cutoffs — the decision for a row is
+    a pure function of (doc_id, seed), so the sample is identical under
+    any partitioning, replay, or engine. The h32 column exposes the
+    bucket itself so the oracle verifies the hash arithmetic, not just
+    the survivor set. Map-only: no shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = SA.stratified_sample(d, "lang", "doc_id",
+                               {"en": 0.5, "zh": 0.25}, default_rate=0.1)
+    return (out.select("doc_id", "lang",
+                       SA.hash_bucket(F.col("doc_id")).alias("h32"))
+               .orderBy("doc_id"))
+
+
+def sample_topk_per_lang(spark, sf_dir):
+    """Exact fixed-size per-stratum sample by hash order (round 5):
+    20 docs per language, two-stage rank so a hot stratum never funnels
+    through one task (operators/sampling.py:topk_per_stratum)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (SA.topk_per_stratum(d, "lang", "doc_id", 20)
+              .select("lang", "sample_rank", "doc_id")
+              .orderBy("lang", "sample_rank"))
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal decode through a REAL codec (r4): a P6 PPM payload is
     synthesized per document — pixel bytes are the md5 bytes of its
@@ -1119,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
         "simhash_near_dups": simhash_near_dups,
+        "dedup_cluster_canonical": dedup_cluster_canonical,
+        "sample_training_mix": sample_training_mix,
+        "sample_topk_per_lang": sample_topk_per_lang,
         "q_string_funcs": q_string_funcs,
         "q_validation_defaults": q_validation_defaults,
         "q_cube_events": q_cube_events,
@@ -1684,6 +1758,66 @@ def oracle_sql() -> dict[str, str]:
                            and a.doc_id < b.doc_id
             )
             select doc_a, doc_b from pairs order by doc_a, doc_b
+        """,
+        "dedup_cluster_canonical": r"""
+            with recursive corpus as (
+              select doc_id, text from documents
+              union all select doc_id + 1000000, text from documents
+              union all select doc_id + 2000000, text from documents
+                        where doc_id % 3 = 0),
+            fps as (select doc_id,
+                           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fp
+                    from corpus),
+            chain as (
+              select lag(doc_id) over (partition by fp order by doc_id) as a,
+                     doc_id as b
+              from fps qualify a is not null),
+            bridges as (
+              select d1.doc_id as a, d2.doc_id as b
+              from documents d1 join documents d2 on d2.doc_id = d1.doc_id + 1
+              where d1.doc_id % 100 = 0),
+            edges as (select a, b from chain
+                      union all select a, b from bridges),
+            sym as (select a, b from edges union select b, a from edges),
+            -- min-label walk: the component minimum m is smaller than
+            -- every neighbor, so `comp < b` never blocks m's own
+            -- propagation while pruning the larger labels' fan-out
+            r(id, comp) as (
+                select doc_id, doc_id from fps
+                union
+                select s.b, r.comp from r join sym s on s.a = r.id
+                where r.comp < s.b),
+            walk as (select id, min(comp) as component from r group by id)
+            select f.doc_id, w.component,
+                   cast(f.doc_id = w.component as int) as is_canonical
+            from fps f join walk w on w.id = f.doc_id
+            order by f.doc_id
+        """,
+        "sample_training_mix": r"""
+            with b as (
+              select doc_id, lang,
+                     ('0x' || substr(md5(doc_id || ':0'), 1, 8))::bigint as h32
+              from documents)
+            select doc_id, lang, h32 from b
+            -- integer cutoffs = int(rate * 2^32): en 0.5, zh 0.25,
+            -- default 0.1 (truncated like Python int())
+            where h32 < case lang when 'en' then 2147483648
+                                  when 'zh' then 1073741824
+                                  else 429496729 end
+            order by doc_id
+        """,
+        "sample_topk_per_lang": r"""
+            with b as (
+              select doc_id, lang,
+                     ('0x' || substr(md5(doc_id || ':0'), 1, 8))::bigint as h32
+              from documents),
+            r as (select lang, doc_id,
+                         row_number() over (partition by lang
+                                            order by h32, doc_id) as sample_rank
+                  from b)
+            select lang, sample_rank, doc_id from r
+            where sample_rank <= 20
+            order by lang, sample_rank
         """,
         "multimodal_features": r"""
             with n as (select doc_id,

@@ -1,0 +1,103 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from tinyetl_spark.operators import sampling as SA
+
+
+def _docs(spark, n=400):
+    rows = [(i, ["en", "de", "zh", "fr"][i % 4], f"doc {i}")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+
+
+def _py_bucket(i, seed=0):
+    return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    got = {r["doc_id"]: r["b"]
+           for r in _docs(spark, 50)
+           .select("doc_id", SA.hash_bucket(F.col("doc_id"), 7).alias("b"))
+           .collect()}
+    assert got == {i: _py_bucket(i, 7) for i in range(50)}
+
+
+def test_bernoulli_partition_invariant_and_exact(spark):
+    d = _docs(spark)
+    want = sorted(i for i in range(400) if _py_bucket(i) < SA.threshold(0.3))
+    for parts in (1, 7):
+        got = sorted(r["doc_id"] for r in
+                     SA.bernoulli_sample(d.repartition(parts), "doc_id", 0.3)
+                     .collect())
+        assert got == want
+    assert 0.2 < len(want) / 400 < 0.4  # rate roughly honored
+
+
+def test_bernoulli_nested_subsets(spark):
+    """Threshold hashing gives monotone samples: rate 0.1 ⊆ rate 0.5."""
+    d = _docs(spark)
+    small = {r["doc_id"] for r in
+             SA.bernoulli_sample(d, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in
+           SA.bernoulli_sample(d, "doc_id", 0.5).collect()}
+    assert small < big
+
+
+def test_seed_changes_selection(spark):
+    d = _docs(spark)
+    a = {r["doc_id"] for r in
+         SA.bernoulli_sample(d, "doc_id", 0.3, seed=0).collect()}
+    b = {r["doc_id"] for r in
+         SA.bernoulli_sample(d, "doc_id", 0.3, seed=1).collect()}
+    assert a != b
+
+
+def test_stratified_rates_and_default(spark):
+    d = _docs(spark)
+    out = SA.stratified_sample(d, "lang", "doc_id",
+                               {"en": 1.0, "de": 0.25}, default_rate=0.0)
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by_lang["en"] == {i for i in range(400) if i % 4 == 0}
+    assert by_lang["de"] == {i for i in range(400) if i % 4 == 1
+                             and _py_bucket(i) < SA.threshold(0.25)}
+    assert "zh" not in by_lang and "fr" not in by_lang
+
+
+def test_topk_exact_counts_and_partition_invariance(spark):
+    d = _docs(spark)
+    want = {}
+    for lang_idx, lang in enumerate(["en", "de", "zh", "fr"]):
+        ids = [i for i in range(400) if i % 4 == lang_idx]
+        want[lang] = sorted(ids, key=lambda i: (_py_bucket(i), i))[:15]
+    for parts in (1, 5):
+        out = SA.topk_per_stratum(d.repartition(parts), "lang", "doc_id", 15)
+        rows = out.collect()
+        assert len(rows) == 60
+        got = {}
+        for r in rows:
+            got.setdefault(r["lang"], []).append((r["sample_rank"], r["doc_id"]))
+        for lang, pairs in got.items():
+            pairs.sort()
+            assert [p[1] for p in pairs] == want[lang]
+            assert [p[0] for p in pairs] == list(range(1, 16))
+
+
+def test_topk_small_stratum_keeps_all(spark):
+    d = _docs(spark, 10)  # strata of size 2-3
+    out = SA.topk_per_stratum(d, "lang", "doc_id", 15)
+    assert out.count() == 10
+
+
+def test_bad_args(spark):
+    d = _docs(spark, 4)
+    with pytest.raises(ValueError):
+        SA.bernoulli_sample(d, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        SA.topk_per_stratum(d, "lang", "doc_id", 0)
