@@ -740,6 +740,20 @@ def sample_topk_per_lang(spark, sf_dir):
               .orderBy("lang", "sample_rank"))
 
 
+def pack_token_shards(spark, sf_dir):
+    """Token-budget shard packing (round 5, operators/packing.py):
+    shard_id = floor(exclusive running token sum / budget) over the
+    document order — computed as a two-level distributed prefix sum
+    (chunked offsets + per-chunk window), never a global single-task
+    window. chunk_size=64 forces the multi-chunk path at sf0.01; the
+    oracle is the plain running-sum restatement."""
+    from tinyetl_spark.operators.packing import pack_shards
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wdf = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    return (pack_shards(wdf, "doc_id", "n_tokens", 5000, chunk_size=64)
+            .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id"))
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal decode through a REAL codec (r4): a P6 PPM payload is
     synthesized per document — pixel bytes are the md5 bytes of its
@@ -1193,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "sample_training_mix": sample_training_mix,
         "sample_topk_per_lang": sample_topk_per_lang,
+        "pack_token_shards": pack_token_shards,
         "q_string_funcs": q_string_funcs,
         "q_validation_defaults": q_validation_defaults,
         "q_cube_events": q_cube_events,
@@ -1818,6 +1833,24 @@ def oracle_sql() -> dict[str, str]:
             select lang, sample_rank, doc_id from r
             where sample_rank <= 20
             order by lang, sample_rank
+        """,
+        "pack_token_shards": r"""
+            with n as (select doc_id,
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+                       from documents),
+            t as (select doc_id,
+                         case when nt = '' then 0
+                              else len(regexp_split_to_array(nt, ' '))
+                         end::bigint as n_tokens
+                  from n),
+            c as (select doc_id, n_tokens,
+                         coalesce(sum(n_tokens) over (
+                             order by doc_id
+                             rows between unbounded preceding
+                                      and 1 preceding), 0) as pre
+                  from t)
+            select doc_id, n_tokens, (pre // 5000)::bigint as shard_id
+            from c order by doc_id
         """,
         "multimodal_features": r"""
             with n as (select doc_id,
