@@ -21,7 +21,9 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "q_set_ops", "q_window_ranks",
          "q_string_agg_regions", "q_daily_event_rollup",
          "cdc_scd2_history", "cdc_quarantine_split",
-         "dedup_minhash_jaccard"]
+         "dedup_minhash_jaccard",
+         "dedup_cluster_canonical", "sample_training_mix",
+         "sample_topk_per_lang", "pack_token_shards"]
 
 
 def audit(name, df):
