@@ -239,6 +239,162 @@ from ranked where rn = 1 and op <> 'delete'
 """
 
 
+def cdc_bootstrap_reconverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-then-stream initial load (streaming/pipeline.py:
+    bootstrap_snapshot — the Debezium snapshot contract the reference's
+    one-shot batch copy cannot follow up incrementally): a consistent
+    source snapshot at WAL cut n/2 — rows AND tombstones via op_col
+    (the events carry out-of-order timestamps, where a rows-only
+    snapshot provably cannot reconverge; see bootstrap_snapshot docs) —
+    is bulk-merged, then the tail is replayed from n/4: BEFORE the cut,
+    so half the snapshot's events replay on top of it. The oracle is
+    the plain full-replay LWW SQL (CDC_ORACLE): overlap must
+    reconverge to the exact same state by (warc_ts, event_seq)
+    idempotency."""
+    from pyspark.sql import Window
+    from tinyetl_spark.streaming.pipeline import bootstrap_snapshot
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    cut, tail_from = n // 2, n // 4
+    work = tempfile.mkdtemp(prefix="tinyetl_boot_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"),
+                                              F.desc("event_seq"))
+        snapshot = (changes.filter(F.col("event_seq") < cut)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter("rn = 1")
+                    .select("url", "warc_ts", "html", "lang",
+                            "event_seq", "op"))
+        bootstrap_snapshot(table, snapshot, seq_col="event_seq",
+                           op_col="op")
+        tail = changes.filter(F.col("event_seq") >= tail_from)
+        half = (n - tail_from + 1) // 2
+        for i in range(2):
+            batch = tail.filter(
+                (F.col("event_seq") >= tail_from + i * half)
+                & (F.col("event_seq") < tail_from + (i + 1) * half))
+            merge_apply(table, batch, i, stream_id="tail")
+        out = (table.read()
+               .select("url", "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def cdc_fanout_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table fan-out (streaming/pipeline.py:run_fanout_pipeline):
+    one checkpointed stream carrying a route column feeds TWO tables,
+    each under its own epoch fence; returns both tables' final states
+    tagged by route. The route is a pure function of user_id parity, so
+    the oracle partitions the same LWW window by url within each route."""
+    from tinyetl_spark.sources.eventlog import append_events
+    from tinyetl_spark.streaming.pipeline import run_fanout_pipeline
+    ev = _t(spark, sf_dir, "events")
+    # route must be a function of the MERGE key (url) or the per-table
+    # LWW differs from the global one — derive it from user_id parity,
+    # which the url embeds
+    uid = F.regexp_extract("url", r"/u/(\d+)$", 1).cast("long")
+    changes = _events_as_changes(ev).withColumn(
+        "route", F.when(uid % 2 == 0, F.lit("even")).otherwise(F.lit("odd")))
+    work = tempfile.mkdtemp(prefix="tinyetl_fan_")
+    try:
+        paths = {r: f"{work}/{r}" for r in ("even", "odd")}
+        for p in paths.values():
+            LakeTable.create(spark, p, PAGES_SCHEMA, key_col="url",
+                             num_buckets=4)
+        append_events(changes, f"{work}/log", segment_partitions=2)
+        run = run_fanout_pipeline(spark, f"{work}/log", paths,
+                                  f"{work}/ckpt")
+        run.await_termination()
+        parts = [LakeTable(spark, p).read()
+                 .select(F.lit(r).alias("route"), "url", "event_seq",
+                         "warc_ts", "text", "lang")
+                 for r, p in paths.items()]
+        out = parts[0].unionByName(parts[1]).orderBy("route", "url")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def cdc_dml_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML (lake/dml.py — Iceberg DELETE FROM / UPDATE WHERE,
+    absent from the reference): after four merge commits, DELETE the
+    urls ending in 7 and UPDATE the urls ending in 3 to lang='xx'. DML
+    rides the merge path — tombstones at (same ts, seq+1) — so the
+    oracle is the LWW state minus the deleted slice, with event_seq
+    bumped by one on the updated slice."""
+    from tinyetl_spark.lake.dml import delete_where, update_where
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_dml_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i)
+        delete_where(table, "url like '%7'")
+        update_where(table, "url like '%3'", {"lang": "'xx'"})
+        out = (table.read()
+               .select("url", "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DML_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html,
+         'en' as lang
+  from events
+), ranked as (
+  select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+  from changes
+)
+select url,
+       case when url like '%3' then event_seq + 1 else event_seq end as event_seq,
+       warc_ts,
+       case when html is null then null
+            else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text,
+       case when url like '%3' then 'xx' else lang end as lang
+from ranked
+where rn = 1 and op <> 'delete' and url not like '%7'
+"""
+
+
+FANOUT_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html,
+         'en' as lang,
+         case when user_id % 2 = 0 then 'even' else 'odd' end as route
+  from events
+), ranked as (
+  select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+  from changes
+)
+select route, url, event_seq, warc_ts,
+       case when html is null then null
+            else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text,
+       lang
+from ranked where rn = 1 and op <> 'delete'
+"""
+
+
 def cdc_matview_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized view (streaming/matview.py): four merge
     commits into a multi-domain pages table, with an incremental
@@ -1182,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rescale_state": cdc_rescale_state,
         "cdc_quarantine_split": cdc_quarantine_split,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_bootstrap_reconverge": cdc_bootstrap_reconverge,
+        "cdc_fanout_final_state": cdc_fanout_final_state,
+        "cdc_dml_final_state": cdc_dml_final_state,
         "cdc_matview_domain_stats": cdc_matview_domain_stats,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1237,6 +1396,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rescale_state": CDC_ORACLE,
         "cdc_quarantine_split": QUARANTINE_ORACLE,
         "cdc_time_travel": TIME_TRAVEL_ORACLE,
+        "cdc_bootstrap_reconverge": CDC_ORACLE,
+        "cdc_fanout_final_state": FANOUT_ORACLE,
+        "cdc_dml_final_state": DML_ORACLE,
         "cdc_matview_domain_stats": MATVIEW_ORACLE,
         "cdc_lww_latest": """
             with ranked as (

@@ -162,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
                          "only the delta-touched buckets")
     mt.add_argument("--expire-keep", type=int, default=None,
                     help="expire snapshots, keeping the last N")
+    mt.add_argument("--delete-where", default=None, metavar="COND",
+                    help="row-level DELETE: erase live rows matching the "
+                         "SQL condition (runs through the merge path — "
+                         "the change feed carries the deletes)")
+    mt.add_argument("--update-where", default=None, metavar="COND",
+                    help="row-level UPDATE: condition for --set")
+    mt.add_argument("--set", action="append", default=[],
+                    metavar="COL=EXPR",
+                    help="with --update-where: assignment, repeatable "
+                         "(EXPR is SQL evaluated against the row)")
     mt.add_argument("--metrics", action="store_true",
                     help="print merge metrics + per-bucket lineage")
 
@@ -177,6 +187,40 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("source")
     rp.add_argument("target")
     rp.add_argument("--checkpoint", required=True)
+
+    bs = sub.add_parser("bootstrap",
+                        help="initial-load a lake table from a consistent "
+                             "source snapshot (snapshot-then-stream: run "
+                             "the CDC stream afterwards from a WAL "
+                             "position at or before the snapshot cut)")
+    bs.add_argument("source", help="snapshot URI (any supported source)")
+    bs.add_argument("table", help="lake table path (created if absent)")
+    bs.add_argument("--seq-col", default=None,
+                    help="snapshot column holding the source's last "
+                         "applied WAL position per row (exact LWW ties); "
+                         "default stamps event_seq=0")
+    bs.add_argument("--op-col", default=None,
+                    help="snapshot column holding 'update'/'delete' per "
+                         "row — pass it when the snapshot retains "
+                         "tombstones (required for exact reconvergence "
+                         "when the stream has out-of-order timestamps)")
+    bs.add_argument("--no-extract", action="store_true",
+                    help="snapshot already carries extracted text")
+    bs.add_argument("--key-col", default="url")
+    bs.add_argument("--num-buckets", type=int, default=16)
+
+    fo = sub.add_parser("fanout",
+                        help="fan one routed change log out to many lake "
+                             "tables, each with its own epoch fence")
+    fo.add_argument("log", help="change-event log dir (with a route col)")
+    fo.add_argument("--table", action="append", required=True,
+                    metavar="ROUTE=PATH",
+                    help="route value -> lake table path (repeatable)")
+    fo.add_argument("--checkpoint", required=True)
+    fo.add_argument("--route-col", default="route")
+    fo.add_argument("--unknown-route-dir", default=None,
+                    help="dead-letter dir for events with no route match "
+                         "(default: counted and dropped)")
 
     runp = sub.add_parser("run", help="run a YAML job")
     runp.add_argument("config")
@@ -194,6 +238,53 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--dry-run", action="store_true")
 
     args = ap.parse_args(argv)
+    if args.cmd == "bootstrap":
+        from tinyetl_spark.lake import LakeTable
+        from tinyetl_spark.schema import PAGES_SCHEMA
+        from tinyetl_spark.sources.files import read_source
+        from tinyetl_spark.streaming.pipeline import bootstrap_snapshot
+        spark = get_spark(app_name="tinyetl-bootstrap")
+        spark.sparkContext.setLogLevel("ERROR")
+        t = LakeTable.create_if_not_exists(
+            spark, args.table, PAGES_SCHEMA,
+            key_col=args.key_col, num_buckets=args.num_buckets)
+        snap = read_source(spark, args.source)
+        stats = bootstrap_snapshot(t, snap, seq_col=args.seq_col,
+                                   op_col=args.op_col,
+                                   extract=not args.no_extract)
+        if stats.fenced:
+            print(f"bootstrap already committed (fenced) -> {args.table}")
+        else:
+            print(f"bootstrapped {stats.upserts} rows -> {args.table} "
+                  f"(snapshot v{stats.snapshot_version}); start the "
+                  "stream from a WAL position at or before the snapshot "
+                  "cut to reconverge")
+        return 0
+
+    if args.cmd == "fanout":
+        from tinyetl_spark.streaming.pipeline import run_fanout_pipeline
+        spark = get_spark(app_name="tinyetl-fanout")
+        spark.sparkContext.setLogLevel("ERROR")
+        tables = {}
+        for spec in args.table:
+            route, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--table wants ROUTE=PATH, got {spec!r}")
+            tables[route] = path
+        run = run_fanout_pipeline(
+            spark, args.log, tables, args.checkpoint,
+            route_col=args.route_col,
+            unknown_route_dir=args.unknown_route_dir)
+        run.await_termination()
+        for route, stats in run.stats.items():
+            applied = sum(s.events_in for s in stats if not s.fenced)
+            print(f"route {route}: {applied} events in {len(stats)} "
+                  f"batches -> {tables[route]}")
+        if run.unrouted_events:
+            where = args.unknown_route_dir or "dropped"
+            print(f"unrouted events: {run.unrouted_events} ({where})")
+        return 0
+
     if args.cmd == "replicate":
         from tinyetl_spark.lake import LakeTable
         from tinyetl_spark.streaming.pipeline import replicate
@@ -254,6 +345,24 @@ def main(argv: list[str] | None = None) -> int:
                   f"{len(snap.files)} files "
                   f"({snap.summary.get('rewritten_buckets', 0)} buckets "
                   f"rewritten)")
+        if args.delete_where:
+            from tinyetl_spark.lake.dml import delete_where
+            s = delete_where(t, args.delete_where)
+            print(f"deleted {s.deletes} rows -> snapshot "
+                  f"v{s.snapshot_version}")
+        if args.update_where:
+            from tinyetl_spark.lake.dml import update_where
+            if not args.set:
+                raise SystemExit("--update-where needs at least one --set")
+            assignments = {}
+            for spec in args.set:
+                col, _, expr = spec.partition("=")
+                if not expr:
+                    raise SystemExit(f"--set wants COL=EXPR, got {spec!r}")
+                assignments[col] = expr
+            s = update_where(t, args.update_where, assignments)
+            print(f"updated {s.upserts} rows -> snapshot "
+                  f"v{s.snapshot_version}")
         if args.expire_keep is not None:
             print(t.expire_snapshots(keep_last=args.expire_keep))
         if args.metrics:

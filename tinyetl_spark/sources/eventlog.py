@@ -36,9 +36,16 @@ def read_event_log(spark: SparkSession, log_dir: str) -> DataFrame:
 
 
 def stream_event_log(spark: SparkSession, log_dir: str,
-                     max_files_per_trigger: int | None = None) -> DataFrame:
-    """Streaming tail of the log with checkpointed offsets."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+                     max_files_per_trigger: int | None = None,
+                     schema=None) -> DataFrame:
+    """Streaming tail of the log with checkpointed offsets.
+
+    ``schema`` overrides the default change-event shape for logs that
+    carry extra routing/envelope columns (e.g. the fan-out pipeline's
+    per-event target-table column); file-source offsets and replay
+    semantics are unchanged.
+    """
+    reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(log_dir)

@@ -272,6 +272,175 @@ def replicate(spark: SparkSession, src_table: str, dst_table: str,
     return run_stats
 
 
+def bootstrap_snapshot(table: LakeTable, snapshot, batch_id: int = 0,
+                       stream_id: str = "bootstrap",
+                       seq_col: str | None = None,
+                       op_col: str | None = None,
+                       extract: bool = True, transform_fn=None,
+                       mode: str = "auto") -> MergeStats:
+    """Initial-load half of the snapshot-then-stream CDC contract
+    (Debezium's snapshot mode; the reference's closest analogue is the
+    one-shot batch copy, /root/reference/src/transfer.rs — but with no
+    way to switch to incremental afterwards).
+
+    ``snapshot`` is a consistent read of the SOURCE table at some cut
+    point T: plain rows (url, warc_ts, html/lang/extras...), no ``op``
+    column. Each row becomes an ``update`` change event and the whole
+    snapshot is merge-applied as one bulk batch under the ``stream_id``
+    fence namespace — re-running the bootstrap (same batch_id) fences to
+    a no-op, so a crashed initial load is safely retried.
+
+    Reconvergence with the tail stream: start the log stream from any
+    WAL position at or before T (its own checkpoint dir mints a separate
+    incarnation, so its fences are independent). Replayed pre-snapshot
+    events LOSE last-writer-wins against the snapshot row (their
+    (warc_ts, event_seq) is at most the snapshot row's) or tie-reapply
+    the identical state; post-snapshot events win. The only contract the
+    caller owes is the standard CDC one: the log must retain events back
+    to the snapshot cut, else the gap is unrecoverable by any engine.
+
+    ``seq_col`` names a snapshot column carrying the source's last
+    applied WAL position per row — pass it when the source exposes one
+    (exact LWW ties). Without it the bootstrap stamps event_seq=0:
+    a replayed event with the same warc_ts then wins the tie, which is
+    convergent anyway — an event carrying the same timestamp as the
+    snapshot row IS the write that produced it, so reapplying it yields
+    byte-identical state.
+
+    ``op_col`` names a snapshot column carrying 'update'/'delete' per
+    row, for snapshots that include TOMBSTONES (recently-deleted keys
+    with their deletion (warc_ts, seq) — e.g. another instance of this
+    engine, or a log-compacted topic that retains tombstones). Why it
+    matters: under (warc_ts, event_seq) LWW with out-of-order
+    timestamps, a key deleted BEFORE the tail's start position but with
+    a deletion warc_ts NEWER than some stale event the tail replays is
+    invisible to a rows-only snapshot — the stale event would resurrect
+    it. Tombstones in the snapshot close that gap exactly (the merge
+    writes them as _deleted rows that win LWW). Without ``op_col``,
+    exact reconvergence still holds whenever warc_ts is monotone with
+    WAL position (in-order streams), or when the tail starts at the
+    snapshot cut AND every post-cut event carries a post-cut timestamp.
+    """
+    cols = [
+        (F.col(seq_col) if seq_col else F.lit(0)).cast("long")
+        .alias("event_seq"),
+        F.col("url"), F.col("warc_ts"),
+        (F.col(op_col) if op_col else F.lit("update")).alias("op"),
+    ]
+    passthrough = [c for c in snapshot.columns
+                   if c not in ("url", "warc_ts", "op", "event_seq")
+                   and c not in (seq_col, op_col)]
+    ev = snapshot.select(*cols, *[F.col(c) for c in passthrough])
+    return merge_apply(table, ev, batch_id, stream_id=stream_id,
+                       extract=extract, transform_fn=transform_fn,
+                       mode=mode)
+
+
+@dataclass
+class FanoutRun:
+    query: StreamingQuery
+    stream_id: str
+    # route -> MergeStats per batch, appended in batch order
+    stats: dict[str, list[MergeStats]] = field(default_factory=dict)
+    unrouted_events: int = 0
+
+    def await_termination(self, timeout: int | None = None):
+        return self.query.awaitTermination(timeout)
+
+
+def run_fanout_pipeline(
+    spark: SparkSession,
+    log_dir: str,
+    tables: dict[str, str],
+    checkpoint_dir: str,
+    route_col: str = "route",
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    extract: bool = True,
+    unknown_route_dir: str | None = None,
+    query_name: str = "tinyetl-cdc-fanout",
+    merge_mode: str = "auto",
+) -> FanoutRun:
+    """One CDC stream fanned out to MANY tables — the multi-table shape
+    every real binlog tail has (a Debezium connector emits every table
+    of the source database into one stream; the reference moves exactly
+    one table per job, src/config.rs job = source->target pair).
+
+    The log carries a ``route_col`` string next to the change-event
+    columns; each micro-batch is split by route and merge-applied to the
+    matching table in ``tables`` (route value -> table path).
+
+    Exactly-once per TABLE, not per batch-group: every table keeps its
+    own epoch fence under this stream's incarnation, so a crash after
+    table A committed batch 7 but before table B did replays batch 7
+    into A as a fenced no-op and into B as a normal merge. No cross-
+    table transaction is needed — idempotence per sink composes.
+
+    Events whose route has no table entry go to ``unknown_route_dir``
+    as parquet under batch_id=N subdirs (overwrite per batch =>
+    replay-idempotent), or are counted and dropped when None — never
+    merged into a wrong table, never able to poison the stream.
+
+    Scale shape: ONE persisted pass over the batch, then K route-pruned
+    merges (each shuffles only its slice); route cardinality is the
+    table count (tens), not the key count, so the split adds no shuffle
+    of its own.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from tinyetl_spark.schema import EVENTS_SCHEMA
+    routes = dict(tables)
+    for route, path in routes.items():
+        if not LakeTable(spark, path).exists():
+            raise ValueError(
+                f"fan-out target for route {route!r} does not exist: {path}")
+    stream_id = _stream_incarnation(checkpoint_dir)
+    # copy — StructType.add would mutate the shared EVENTS_SCHEMA
+    schema = StructType(list(EVENTS_SCHEMA.fields)
+                        + [StructField(route_col, StringType(), False)])
+    events = stream_event_log(spark, log_dir, max_files_per_trigger,
+                              schema=schema)
+
+    run = FanoutRun(query=None, stream_id=stream_id,
+                    stats={r: [] for r in routes})
+
+    def apply_batch(batch_df, batch_id: int):
+        batch_df = batch_df.persist()
+        try:
+            for route, path in routes.items():
+                slice_df = (batch_df
+                            .filter(F.col(route_col) == F.lit(route))
+                            .drop(route_col))
+                t = LakeTable(spark, path)
+                run.stats[route].append(
+                    merge_apply(t, slice_df, batch_id,
+                                stream_id=stream_id, extract=extract,
+                                mode=merge_mode))
+            strays = batch_df.filter(
+                ~F.col(route_col).isin(*routes) | F.col(route_col).isNull())
+            n = strays.count()
+            if n and unknown_route_dir is not None:
+                # per-batch overwrite => replaying the batch rewrites the
+                # same stray slice instead of duplicating it
+                strays.write.mode("overwrite").parquet(
+                    os.path.join(unknown_route_dir, f"batch_id={batch_id}"))
+            run.unrouted_events += n
+        finally:
+            batch_df.unpersist()
+
+    writer = (events.writeStream
+              .queryName(query_name)
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    run.query = writer.start()
+    return run
+
+
 def progress_summary(run: PipelineRun) -> dict[str, Any]:
     s = run.stats
     return {
