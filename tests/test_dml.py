@@ -124,3 +124,48 @@ def test_dml_survives_compaction_and_time_travel(spark, tmpdir_path):
     t.compact()
     assert t.read(version=v_before).count() == n_before  # history intact
     assert t.read().filter("url like '%4'").count() == 0
+
+
+def test_transform_rows_reextracts_text(spark, tmpdir_path):
+    """The reprocessing shape: blank out text, then re-derive it from
+    stored html via the engine's extractor (extract=True, fn=None) —
+    bytes must come back identical to the original extraction."""
+    from tinyetl_spark.lake.dml import transform_rows, update_where
+    t, _ = make_table(spark, f"{tmpdir_path}/t")
+    orig = {r["url"]: r["text"] for r in
+            t.read().select("url", "text").collect()}
+    update_where(t, "true", {"text": "'corrupted'"})
+    assert set(r["text"] for r in
+               t.read().select("text").collect()) == {"corrupted"}
+    s = transform_rows(t, "html is not null", None, extract=True)
+    assert s.upserts > 0
+    after = {r["url"]: r["text"] for r in
+             t.read().select("url", "text").collect()}
+    assert after == orig
+
+
+def test_transform_rows_custom_fn(spark, tmpdir_path):
+    from tinyetl_spark.lake.dml import transform_rows
+    t, _ = make_table(spark, f"{tmpdir_path}/t")
+    before = {r["url"]: r["lang"] for r in
+              t.read().select("url", "lang").collect()}
+    n_match = sum(1 for u in before if u.endswith("6"))
+    s = transform_rows(
+        t, "url like '%6'",
+        lambda df: df.withColumn("lang", F.upper("lang")))
+    assert s.upserts == n_match > 0
+    after = {r["url"]: r["lang"] for r in
+             t.read().select("url", "lang").collect()}
+    for u, lang in after.items():
+        want = before[u].upper() if u.endswith("6") else before[u]
+        assert lang == want, u
+
+
+def test_transform_rows_guards_identity_columns(spark, tmpdir_path):
+    from tinyetl_spark.lake.dml import transform_rows
+    t, _ = make_table(spark, f"{tmpdir_path}/t", n=100, urls=20)
+    try:
+        transform_rows(t, "true", lambda df: df.drop("warc_ts"))
+        assert False
+    except ValueError:
+        pass

@@ -94,3 +94,40 @@ def update_where(table: LakeTable, condition: str,
     # events carry the final text/lang verbatim — never re-extract
     return merge_apply(table, events, batch_id=table.current_version(),
                        stream_id=DML_STREAM, extract=False)
+
+
+def transform_rows(table: LakeTable, condition: str, fn,
+                   extract: bool = False) -> MergeStats:
+    """UPDATE WHERE with an arbitrary DataFrame transform instead of SQL
+    assignments — the reprocessing shape: after an extractor upgrade,
+    re-derive ``text`` from stored ``html`` for historical rows
+    (``extract=True`` runs the engine's vectorized extractor); or apply
+    any df→df function (vectorized pandas UDFs included) to the
+    matching slice.
+
+    ``fn(df) -> df`` receives the matching live rows and must return
+    the same rows transformed; the key column, ``warc_ts`` and
+    ``event_seq`` must come back unchanged (they are how each row wins
+    LWW over exactly itself — the result is re-stamped at
+    (same warc_ts, event_seq + 1) like every DML). Dropping rows from
+    the result leaves the stored rows as-is; emitting a NEW key merges
+    as an insert at the stamped (warc_ts, seq) — defined, but almost
+    never what a transform means, so keep the key set intact.
+    ``fn=None`` with ``extract=True`` is the pure re-extraction
+    maintenance call."""
+    snap = table.snapshot()
+    live = table.read().filter(F.expr(condition))
+    out = fn(live) if fn is not None else live
+    missing = {snap.key_col, "warc_ts", "event_seq"} - set(out.columns)
+    if missing:
+        raise ValueError(f"transform dropped identity columns: "
+                         f"{sorted(missing)}")
+    payload = [c for c in out.columns
+               if c not in ("event_seq", "op", "_deleted")]
+    events = out.select(
+        (F.col("event_seq") + 1).alias("event_seq"),
+        F.lit("update").alias("op"),
+        *[F.col(c) for c in payload],
+    )
+    return merge_apply(table, events, batch_id=table.current_version(),
+                       stream_id=DML_STREAM, extract=extract)
