@@ -38,10 +38,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 import bench  # noqa: E402  (probe + candidate-range + saved-log machinery)
 
+# per-executor memory is a protocol parameter applied to BOTH levels
+# (same per-executor resources at N and 4N — the contract); 2048 MB is
+# the historical default, SPARK_GRAFT_SUBMIT_MEM overrides to probe GC/
+# heap effects on the multi-JVM shape
+_MEM = int(os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "2048"))
 LEVELS = [
     # label, executors, cores/exec, mem MB, total cores, candidate label
-    ("n1", 1, 2, 2048, 2, "low"),
-    ("n4", 4, 2, 2048, 8, "high"),
+    ("n1", 1, 2, _MEM, 2, "low"),
+    ("n4", 4, 2, _MEM, 8, "high"),
 ]
 
 
@@ -170,9 +175,9 @@ def main() -> None:
     lo_g, hi_g = _med("n1", True), _med("n4", True)
     lo_u, hi_u = _med("n1", False), _med("n4", False)
     out = {
-        "protocol": "spark-submit --py-files, local-cluster[1,2,2048] vs "
-                    "local-cluster[4,2,2048] (N=1 vs 4N=4 executor JVMs, "
-                    "2 cores each), same pre-generated event log; "
+        "protocol": f"spark-submit --py-files, local-cluster[1,2,{_MEM}] "
+                    f"vs local-cluster[4,2,{_MEM}] (N=1 vs 4N=4 executor "
+                    "JVMs, 2 cores each), same pre-generated event log; "
                     "events_per_sec = SUSTAINED rate over summed per-batch "
                     "triggerExecution (primary-protocol definition, "
                     "bench.py _cdc_round), wall rate kept as "
