@@ -128,57 +128,9 @@ def test_unknown_media_kind_raises(spark):
 # Pure-Python XXH64 (public spec, seed 42 = Spark's xxhash64 seed) so the
 # SimHash signature — not oracle-checkable in DuckDB (no xxhash64) — gets a
 # value-level check against an independent reimplementation.
-_P1 = 0x9E3779B185EBCA87
-_P2 = 0xC2B2AE3D27D4EB4F
-_P3 = 0x165667B19E3779F9
-_P4 = 0x85EBCA77C2B2AE63
-_P5 = 0x27D4EB2F165667C5
-_M64 = (1 << 64) - 1
-
-
-def _rotl(x, r):
-    return ((x << r) | (x >> (64 - r))) & _M64
-
-
-def _xx_round(acc, inp):
-    return (_rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
-
-
-def xxh64(data: bytes, seed: int = 42) -> int:
-    n, i = len(data), 0
-    if n >= 32:
-        v1 = (seed + _P1 + _P2) & _M64
-        v2 = (seed + _P2) & _M64
-        v3 = seed & _M64
-        v4 = (seed - _P1) & _M64
-        while i + 32 <= n:
-            v1 = _xx_round(v1, int.from_bytes(data[i:i + 8], "little")); i += 8
-            v2 = _xx_round(v2, int.from_bytes(data[i:i + 8], "little")); i += 8
-            v3 = _xx_round(v3, int.from_bytes(data[i:i + 8], "little")); i += 8
-            v4 = _xx_round(v4, int.from_bytes(data[i:i + 8], "little")); i += 8
-        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
-        for v in (v1, v2, v3, v4):
-            h = ((h ^ _xx_round(0, v)) * _P1 + _P4) & _M64
-    else:
-        h = (seed + _P5) & _M64
-    h = (h + n) & _M64
-    while i + 8 <= n:
-        k = _xx_round(0, int.from_bytes(data[i:i + 8], "little"))
-        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
-        i += 8
-    if i + 4 <= n:
-        h = ((_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1) & _M64), 23)
-              * _P2) + _P3) & _M64
-        i += 4
-    while i < n:
-        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
-        i += 1
-    h ^= h >> 33
-    h = (h * _P2) & _M64
-    h ^= h >> 29
-    h = (h * _P3) & _M64
-    h ^= h >> 32
-    return h
+# (implementation now lives in tinyetl_spark.partitioning — the
+# same pure-Python spec code, still checked against the JVM here)
+from tinyetl_spark.partitioning import xxh64
 
 
 def _simhash_py(text: str, ngram: int = 2) -> int:

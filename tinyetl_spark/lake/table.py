@@ -255,6 +255,20 @@ class LakeTable:
         c = F.col(snap.key_col) if col is None else col
         return F.pmod(F.xxhash64(c), F.lit(num_buckets or snap.num_buckets))
 
+    def lookup(self, key, version: int | None = None) -> DataFrame:
+        """Point read of one key: the key's bucket is computed DRIVER-
+        side (pure-Python replica of pmod(xxhash64(key), N) —
+        partitioning.bucket_of), so the scan touches only that bucket's
+        files via manifest pruning, and the pushed equality predicate
+        lets the per-file key bloom filter (written by write_files) skip
+        row groups inside them. O(one bucket) IO on a 10^10-row table,
+        no job to plan the pruning."""
+        from tinyetl_spark.partitioning import bucket_of
+        snap = self.snapshot(version)
+        b = bucket_of(key, snap.num_buckets)
+        return (self.read(version=version, buckets={b})
+                .filter(F.col(snap.key_col) == F.lit(key)))
+
     def read(self, version: int | None = None, buckets: set[int] | None = None,
              include_tombstones: bool = False, resolve: bool = True,
              ts_range: tuple | None = None) -> DataFrame:
@@ -509,11 +523,23 @@ class LakeTable:
             assign = {b: i % slots for i, b in enumerate(sorted(buckets))}
         else:
             assign = {b: b % slots for b in range(nb)}
+        # parquet bloom filter on the key column: within a bucket, files
+        # are NOT sorted by key (they're time-ordered), so row-group
+        # min/max stats can't prune a point lookup — the bloom can. At
+        # 10^10 rows / 4096 buckets a bucket spans several files (base +
+        # deltas + time-clustered slices); `lookup` prunes to the bucket
+        # via the manifest, the bloom then skips the row groups that
+        # can't hold the key. ~1.2 MB per file at the default NDV.
+        key_col = self.snapshot().key_col
+        ndv = os.environ.get("TINYETL_BLOOM_NDV", str(1 << 20))
         (df_with_extras
             .withColumn("_slotkey", _slotkey_column(nb, slots, assign))
             .repartition(slots, "_slotkey")
             .drop("_slotkey")
-            .write.mode("append").parquet(out_dir))
+            .write.mode("append")
+            .option(f"parquet.bloom.filter.enabled#{key_col}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{key_col}", ndv)
+            .parquet(out_dir))
 
     def readback_entries(self, out_dir: str,
                          schema_version: int | None = None
