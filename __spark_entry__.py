@@ -319,6 +319,65 @@ def cdc_fanout_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point reads through LakeTable.lookup (lake/table.py): after four
+    merge commits, look up ten deterministic urls one by one — the
+    driver computes each key's bucket in pure Python (no job), the scan
+    opens only that bucket's files, and the per-file key bloom filter
+    skips row groups inside them. Oracle: the LWW winner row for the
+    same urls."""
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_lkp_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i)
+        urls = [f"https://site.example/u/{uid}" for uid in range(10)]
+        parts = [table.lookup(u)
+                 .select("url", "event_seq", "warc_ts", "text", "lang")
+                 for u in urls]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.orderBy("url")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+LOOKUP_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html,
+         'en' as lang
+  from events
+), ranked as (
+  select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+  from changes
+)
+select url, event_seq, warc_ts,
+       case when html is null then null
+            else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text,
+       lang
+from ranked
+where rn = 1 and op <> 'delete' and url in (
+  'https://site.example/u/0', 'https://site.example/u/1',
+  'https://site.example/u/2', 'https://site.example/u/3',
+  'https://site.example/u/4', 'https://site.example/u/5',
+  'https://site.example/u/6', 'https://site.example/u/7',
+  'https://site.example/u/8', 'https://site.example/u/9')
+"""
+
+
 def cdc_dml_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DML (lake/dml.py — Iceberg DELETE FROM / UPDATE WHERE,
     absent from the reference): after four merge commits, DELETE the
@@ -1341,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap_reconverge": cdc_bootstrap_reconverge,
         "cdc_fanout_final_state": cdc_fanout_final_state,
         "cdc_dml_final_state": cdc_dml_final_state,
+        "cdc_point_lookup": cdc_point_lookup,
         "cdc_matview_domain_stats": cdc_matview_domain_stats,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1399,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bootstrap_reconverge": CDC_ORACLE,
         "cdc_fanout_final_state": FANOUT_ORACLE,
         "cdc_dml_final_state": DML_ORACLE,
+        "cdc_point_lookup": LOOKUP_ORACLE,
         "cdc_matview_domain_stats": MATVIEW_ORACLE,
         "cdc_lww_latest": """
             with ranked as (

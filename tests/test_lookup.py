@@ -59,3 +59,16 @@ def test_lookup_resolves_mor_deltas(spark, tmpdir_path):
     row = t.lookup(victim["url"]).collect()
     assert len(row) == 1 and row[0]["event_seq"] == \
         victim["event_seq"] + 10_000
+
+
+def test_cli_lookup(spark, tmpdir_path, capsys):
+    from tinyetl_spark.cli import main
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                         key_col="url", num_buckets=4)
+    merge_apply(t, datagen.change_events(spark, 400, 60, seed=31), 0)
+    u = t.read().select("url").limit(1).collect()[0]["url"]
+    assert main(["lookup", f"{tmpdir_path}/t", u]) == 0
+    out = capsys.readouterr().out
+    assert u[:15] in out          # data_grid truncates cells to 15 chars
+    assert main(["lookup", f"{tmpdir_path}/t", "https://no.example/x"]) == 1
+    assert "not found" in capsys.readouterr().out

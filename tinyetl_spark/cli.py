@@ -222,6 +222,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="dead-letter dir for events with no route match "
                          "(default: counted and dropped)")
 
+    lk = sub.add_parser("lookup",
+                        help="point-read one key from a lake table "
+                             "(driver-side bucket pruning + key bloom)")
+    lk.add_argument("table")
+    lk.add_argument("key")
+    lk.add_argument("--version", type=int, default=None,
+                    help="read AS OF this snapshot version")
+
     runp = sub.add_parser("run", help="run a YAML job")
     runp.add_argument("config")
     runp.add_argument("--preview", type=int)
@@ -283,6 +291,22 @@ def main(argv: list[str] | None = None) -> int:
         if run.unrouted_events:
             where = args.unknown_route_dir or "dropped"
             print(f"unrouted events: {run.unrouted_events} ({where})")
+        return 0
+
+    if args.cmd == "lookup":
+        from tinyetl_spark.lake import LakeTable
+        from tinyetl_spark.render import data_grid
+        spark = get_spark(app_name="tinyetl-lookup")
+        spark.sparkContext.setLogLevel("ERROR")
+        t = LakeTable(spark, args.table)
+        if not t.exists():
+            raise SystemExit(f"no lake table at {args.table}")
+        rows = t.lookup(args.key, version=args.version)
+        n = rows.count()
+        if n == 0:
+            print(f"not found: {args.key}")
+            return 1
+        print(data_grid(rows, n))
         return 0
 
     if args.cmd == "replicate":
