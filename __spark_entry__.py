@@ -18,7 +18,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from tinyetl_spark.lake import LakeTable, merge_apply
+from tinyetl_spark.operators import decontam as DCON
 from tinyetl_spark.operators import dedup as D
+from tinyetl_spark.operators import quality as QF
 from tinyetl_spark.operators import sampling as SA
 from tinyetl_spark.operators import similarity as S
 from tinyetl_spark.operators import text as T
@@ -847,6 +849,44 @@ def text_profile(spark, sf_dir):
                     T.fingerprint(c).alias("fp"))
 
 
+def text_gopher_quality(spark, sf_dir):
+    """Gopher/C4 quality-filter stack (operators/quality.py) over a
+    line-augmented corpus: the sf documents are single-line, so the
+    query synthesizes a deterministic 4-line doc from each row (bullet
+    prefix every 7th, markup+ellipsis every 11th, duplicated line every
+    5th, ellipsis tail every 3rd) so every line-structure and
+    repetition rule fires BOTH ways at sf0.01. All metrics are pure
+    Catalyst; the oracle recomputes each one with DuckDB list lambdas."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    t = F.col("text")
+    l1 = F.substring(t, 1, 40)
+    l2 = F.when(doc % 7 == 0,
+                F.concat(F.lit("- "), F.substring(t, 41, 40))
+                ).otherwise(F.substring(t, 41, 40))
+    l2 = F.when(doc % 11 == 0,
+                F.concat(l2, F.lit(" ### ..."))).otherwise(l2)
+    l3 = F.when(doc % 5 == 0, l1).otherwise(F.substring(t, 81, 40))
+    l4 = F.concat(F.substring(t, 121, 40),
+                  F.when(doc % 3 == 0, F.lit("...")).otherwise(F.lit("")))
+    raw = F.concat_ws("\n", l1, l2, l3, l4)
+    aug = d.select("doc_id", raw.alias("text"))
+    return (QF.gopher_keep(aug, min_words=12)
+              .drop("text").orderBy("doc_id"))
+
+
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): every 29th
+    doc plays the held-out eval set; corpus docs sharing any word
+    8-gram with it are flagged. Map-side gram generation + broadcast
+    semi-join — the corpus never shuffles; only the bounded hit set
+    does."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    return (DCON.mark_contaminated(d, bench, n=8)
+                .select("doc_id", "contaminated").orderBy("doc_id"))
+
+
 def dedup_exact_groups(spark, sf_dir):
     """Exact dedup over a dup-augmented corpus (every doc duplicated with
     id+1e6 so groups are non-trivial)."""
@@ -1419,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": q_json_props,
         "q_date_parse_trial": q_date_parse_trial,
         "text_profile": text_profile,
+        "text_gopher_quality": text_gopher_quality,
+        "text_decontaminate": text_decontaminate,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1623,6 +1665,112 @@ def oracle_sql() -> dict[str, str]:
                     * (alpha::double / total), 6) as quality,
               md5(nt) as fp
             from tok
+        """,
+        "text_gopher_quality": r"""
+            with raw as (
+              select doc_id,
+                substr(text, 1, 40) as l1,
+                (case when doc_id % 7 = 0
+                      then '- ' || substr(text, 41, 40)
+                      else substr(text, 41, 40) end)
+                || (case when doc_id % 11 = 0 then ' ### ...' else '' end)
+                  as l2,
+                case when doc_id % 5 = 0 then substr(text, 1, 40)
+                     else substr(text, 81, 40) end as l3,
+                substr(text, 121, 40)
+                || case when doc_id % 3 = 0 then '...' else '' end as l4
+              from documents),
+            r2 as (
+              select doc_id,
+                     l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+                       as t
+              from raw),
+            base as (
+              select doc_id, t,
+                trim(regexp_replace(lower(t), '\s+', ' ', 'g')) as nt,
+                list_filter(list_transform(string_split(t, chr(10)),
+                                           x -> trim(x)),
+                            x -> x <> '') as ls
+              from r2),
+            w as (
+              select *, case when nt = '' then []::varchar[]
+                             else string_split(nt, ' ') end as ws
+              from base),
+            m as (
+              select doc_id,
+                len(ws)::bigint as n_words,
+                round(length(replace(nt, ' ', ''))::double
+                      / greatest(len(ws), 1), 6) as mean_word_len,
+                round(((length(t) - length(replace(t, '#', '')))
+                       + floor((length(t) - length(replace(t, '...', '')))
+                               / 3))::double
+                      / greatest(len(ws), 1), 6) as symbol_word_ratio,
+                round(len(list_filter(ws,
+                          x -> regexp_matches(x, '[a-z]')))::double
+                      / greatest(len(ws), 1), 6) as alpha_word_frac,
+                len(regexp_extract_all(nt, '\b(the|a|and|of|to|in)\b', 1)
+                    )::bigint as stop_hits,
+                round(len(list_filter(ls,
+                          x -> regexp_matches(x, '^[-*•]')))::double
+                      / greatest(len(ls), 1), 6) as bullet_line_frac,
+                round(len(list_filter(ls,
+                          x -> regexp_matches(x, '(\.\.\.|…)$')))::double
+                      / greatest(len(ls), 1), 6) as ellipsis_line_frac,
+                case when len(ls) = 0 then 0.0
+                     else round(1.0 - len(list_distinct(ls))::double
+                                / len(ls), 6) end as dup_line_frac,
+                round((coalesce(list_sum(list_transform(ls,
+                                         x -> length(x))), 0)
+                       - coalesce(list_sum(list_transform(
+                             list_distinct(ls), x -> length(x))), 0)
+                      )::double
+                      / greatest(coalesce(list_sum(list_transform(ls,
+                                          x -> length(x))), 0), 1), 6)
+                  as dup_line_char_frac
+              from w)
+            select *,
+              (n_words >= 12 and n_words <= 100000) as ok_words,
+              (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+                as ok_mean_word_len,
+              (symbol_word_ratio <= 0.1) as ok_symbol,
+              (alpha_word_frac >= 0.8) as ok_alpha,
+              (stop_hits >= 2) as ok_stop,
+              (bullet_line_frac <= 0.9) as ok_bullet,
+              (ellipsis_line_frac <= 0.3) as ok_ellipsis,
+              (dup_line_frac <= 0.3) as ok_dup_lines,
+              (dup_line_char_frac <= 0.2) as ok_dup_chars,
+              ((n_words >= 12 and n_words <= 100000)
+               and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+               and symbol_word_ratio <= 0.1 and alpha_word_frac >= 0.8
+               and stop_hits >= 2 and bullet_line_frac <= 0.9
+               and ellipsis_line_frac <= 0.3 and dup_line_frac <= 0.3
+               and dup_line_char_frac <= 0.2) as keep
+            from m order by doc_id
+        """,
+        "text_decontaminate": r"""
+            with n as (
+              select doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       as nt
+              from documents),
+            w as (select doc_id, string_split(nt, ' ') as ws from n),
+            grams as (
+              select doc_id,
+                case when len(ws) >= 8
+                     then [md5(array_to_string(ws[i:i+7], ' '))
+                           for i in generate_series(1, len(ws)-7)]
+                     else []::varchar[] end as gs
+              from w),
+            bench as (
+              select distinct unnest(gs) as g from grams
+              where doc_id % 29 = 0),
+            hits as (
+              select distinct e.doc_id
+              from (select doc_id, unnest(gs) as g from grams) e
+              join bench using (g))
+            select d.doc_id, (h.doc_id is not null) as contaminated
+            from documents d left join hits h using (doc_id)
+            order by d.doc_id
         """,
         "dedup_exact_groups": r"""
             with corpus as (

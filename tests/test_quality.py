@@ -1,0 +1,126 @@
+"""Gopher/C4 quality-filter rules (operators/quality.py) and benchmark
+decontamination (operators/decontam.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tinyetl_spark.operators import decontam as DC
+from tinyetl_spark.operators import quality as Q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _docs(spark, [
+        (1, "The quick brown fox jumps over the lazy dog and runs away "
+            "to the hills of the north"),
+        (2, "- bullet one\n- bullet two\n- bullet three\nplain tail"),
+        (3, "first line...\nsecond line...\nthird line...\nclean end"),
+        (4, "repeat me\nrepeat me\nrepeat me\nunique line"),
+        (5, "short\n\n  \nshort"),            # blank lines ignored, dup pair
+        (6, ""),                               # empty doc
+        (7, "### markup #### heavy ## doc with ... lots ... of symbols"),
+        (8, "a b c d e f g 1 2 3 !! ?? ,, .."),   # low alpha-word fraction
+    ])
+
+
+def _one(df, doc_id):
+    return df.filter(F.col("doc_id") == doc_id).collect()[0].asDict()
+
+
+def test_line_structure_rules(spark, corpus):
+    m = Q.gopher_metrics(corpus)
+    r2 = _one(m, 2)
+    assert r2["bullet_line_frac"] == 0.75
+    r3 = _one(m, 3)
+    assert r3["ellipsis_line_frac"] == 0.75
+    r4 = _one(m, 4)
+    assert r4["dup_line_frac"] == 0.5          # 4 lines, 2 survive distinct
+    # dup char mass: 3x"repeat me"(9) + "unique line"(11) = 38 total,
+    # distinct = 20, repeated mass 18/38
+    assert r4["dup_line_char_frac"] == round(18 / 38, 6)
+
+
+def test_blank_lines_ignored_and_empty_doc(spark, corpus):
+    m = Q.gopher_metrics(corpus)
+    r5 = _one(m, 5)
+    assert r5["dup_line_frac"] == 0.5          # 2 non-empty lines, 1 distinct
+    r6 = _one(m, 6)
+    assert r6["n_words"] == 0
+    assert r6["dup_line_frac"] == 0.0          # empty: no lines, no dups
+    assert r6["dup_line_char_frac"] == 0.0
+    assert r6["mean_word_len"] == 0.0
+
+
+def test_symbol_and_alpha_rules(spark, corpus):
+    m = Q.gopher_metrics(corpus)
+    r7 = _one(m, 7)
+    # 9 '#' chars + 2 '...' runs over 12 words
+    assert r7["symbol_word_ratio"] == round(11 / 12, 6)
+    r8 = _one(m, 8)
+    assert r8["alpha_word_frac"] == round(7 / 14, 6)
+
+
+def test_symbol_overlap_is_left_greedy(spark):
+    # '....' contains ONE non-overlapping '...' in both engines
+    d = _docs(spark, [(1, "w ....")])
+    assert _one(Q.gopher_metrics(d), 1)["symbol_word_ratio"] == 0.5
+
+
+def test_keep_is_conjunction_and_overrides(spark, corpus):
+    out = Q.gopher_keep(corpus, min_words=3)
+    r1 = _one(out, 1)
+    assert r1["keep"] and all(r1[k] for k in r1 if k.startswith("ok_"))
+    r4 = _one(out, 4)
+    assert not r4["ok_dup_lines"] and not r4["keep"]
+    # loosening the one violated rule flips keep for the dup doc only
+    loose = Q.gopher_keep(corpus, min_words=3, max_dup_line_frac=1.0,
+                          max_dup_line_char_frac=1.0, min_stop_hits=0)
+    assert _one(loose, 4)["keep"]
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    d = _docs(spark, [(1, "b\na\nb\nc\na")])
+    got = d.select(Q.dedup_lines(F.col("text")).alias("t")).first()["t"]
+    assert got == "b\na\nc"
+
+
+# ----------------------------------------------------- decontamination
+
+def test_ngram_count_and_short_docs(spark):
+    d = _docs(spark, [(1, "one two three four five"), (2, "one two")])
+    g = d.select(F.size(DC.ngram_hashes(F.col("text"), 3)).alias("n"))
+    assert [r["n"] for r in g.orderBy(F.col("n").desc()).collect()] == [3, 0]
+
+
+def test_mark_and_remove_contaminated(spark):
+    docs = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "zzz alpha beta gamma delta yyy"),      # shares 4-gram with 1
+        (3, "totally different words here entirely"),
+        (4, "alpha beta gamma"),                     # < n words: never hits
+    ])
+    bench = docs.filter("doc_id = 1").select("text")
+    marked = {r["doc_id"]: r["contaminated"]
+              for r in DC.mark_contaminated(docs, bench, n=4).collect()}
+    assert marked == {1: True, 2: True, 3: False, 4: False}
+    clean = DC.decontaminate(docs, bench, n=4)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4]
+    # column set is preserved on the clean corpus
+    assert clean.columns == docs.columns
+
+
+def test_contamination_plan_is_broadcast_semi_join(spark):
+    docs = _docs(spark, [(i, f"w{i} x{i} y{i} z{i} q{i}")
+                         for i in range(20)])
+    bench = docs.filter("doc_id < 2").select("text")
+    plan = (DC.contaminated_ids(docs, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the corpus side must not shuffle before the semi join: the only
+    # shuffles allowed are the bench-side distinct (inside the broadcast
+    # subtree) and the final distinct over the bounded hit set
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -32,6 +32,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _drop_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint'd frame's persisted blocks NOW.
+    ``Dataset.unpersist`` is a documented no-op for checkpointed frames;
+    the blocks belong to the LogicalRDD's underlying RDD."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # non-classic backend / plan drift: the context cleaner gets it
+
+
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected canonical form: (u < v), self-loops dropped, distinct."""
     return (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
@@ -114,12 +126,19 @@ def connected_components(edges: DataFrame, src: str = "src",
     sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # e2 is eagerly materialized with NO lineage back to e, so e's
+        # checkpoint blocks can be dropped deterministically right here
+        # (waiting for the JVM context cleaner leaves superseded rounds
+        # pinning executor memory until some later GC — the flake a
+        # zero-persisted-RDDs assertion catches)
+        _drop_checkpoint(e)
         sig2 = _sig(e2)
         e, converged = e2, sig2 == sig
         sig = sig2
         if converged:
             break
     else:
+        _drop_checkpoint(e)  # abort path must not leak the last round
         raise RuntimeError(f"connected_components: no convergence "
                            f"in {max_iter} rounds")
     # the result reads from the final checkpointed edge set; register it

@@ -43,10 +43,25 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> int:
-    """Unpersist every frame cached by dedup queries; returns the count."""
+    """Unpersist every frame cached by dedup queries; returns the count.
+
+    Handles BOTH registry shapes: plain ``persist()`` frames
+    (``unpersist()`` suffices) and ``localCheckpoint`` frames from
+    ``connected_components`` — for those ``Dataset.unpersist`` is a
+    documented no-op, so the checkpoint blocks are dropped by
+    unpersisting the underlying LogicalRDD's RDD JVM-side (otherwise
+    they pin executor memory until a JVM GC happens to run the context
+    cleaner — nondeterministic on a long-lived streaming driver)."""
     n = len(_live_caches)
     while _live_caches:
-        _live_caches.pop().unpersist()
+        df = _live_caches.pop()
+        df.unpersist()
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(True)
+        except Exception:
+            pass  # non-classic backend or plan shape drift: best-effort
     return n
 
 

@@ -1,0 +1,173 @@
+"""Gopher/C4-style document-quality rules for web-text curation.
+
+The standard pre-training filter stack (Rae et al. 2021 "Scaling
+Language Models: ... Gopher", App. A; Raffel et al. 2020 "C4"): reject
+documents by word-count bounds, mean word length, symbol-to-word
+ratio, alpha-word fraction, stopword presence, bullet/ellipsis line
+structure, and intra-document repetition (duplicate-line fraction by
+count and by character mass).
+
+Everything here is a pure Catalyst expression over ONE row — no
+shuffle, no UDF, whole-stage codegen end to end — so the filter stack
+runs at scan speed on 100 TB and is trivially fused with predicate
+pushdown when used as an actual filter. Each metric is deliberately
+reproducible in ANSI-ish SQL (DuckDB list lambdas) so the oracle can
+verify values bit-for-bit; fractional outputs are rounded to 6dp at
+the boundary like the rest of the text surface (operators/text.py).
+
+No reference equivalent (TinyETL has no text analytics); this is part
+of the training-data surface the build plan adds on top
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import STOPWORDS, marker_hits, norm_text
+
+# Gopher App. A defaults (word bounds scaled down so small synthetic
+# corpora exercise BOTH outcomes of the rule; callers override).
+DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+}
+
+
+def _words(col: Column) -> Column:
+    n = norm_text(col)
+    return F.when(n == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(n, " "))
+
+
+def _lines(col: Column) -> Column:
+    """Non-empty trimmed lines of the RAW text (norm_text collapses
+    newlines, so line-structure rules must see the original)."""
+    return F.filter(F.transform(F.split(col, "\n"),
+                                lambda x: F.trim(x)),
+                    lambda x: x != F.lit(""))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(_words(col)).cast("long")
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean characters per word; 0.0 for empty docs."""
+    n = norm_text(col)
+    wc = word_count(col)
+    chars = F.length(F.replace(n, F.lit(" "), F.lit("")))
+    return F.round(chars.cast("double") / F.greatest(wc, F.lit(1)), 6)
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# of '#' + # of '...' occurrences) / words — the Gopher "symbol
+    to word ratio" proxy for markup/boilerplate."""
+    hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    dots = F.floor((F.length(col)
+                    - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3)
+    wc = word_count(col)
+    return F.round((hashes + dots).cast("double")
+                   / F.greatest(wc, F.lit(1)), 6)
+
+
+def alpha_word_frac(col: Column) -> Column:
+    """Fraction of words containing at least one alphabetic char."""
+    ws = _words(col)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    return F.round(alpha.cast("double")
+                   / F.greatest(F.size(ws), F.lit(1)), 6)
+
+
+def bullet_line_frac(col: Column) -> Column:
+    ls = _lines(col)
+    b = F.size(F.filter(ls, lambda x: x.rlike("^[-*•]")))
+    return F.round(b.cast("double") / F.greatest(F.size(ls), F.lit(1)), 6)
+
+
+def ellipsis_line_frac(col: Column) -> Column:
+    ls = _lines(col)
+    e = F.size(F.filter(ls, lambda x: x.rlike("(\\.\\.\\.|…)$")))
+    return F.round(e.cast("double") / F.greatest(F.size(ls), F.lit(1)), 6)
+
+
+def dup_line_frac(col: Column) -> Column:
+    """1 - distinct/total over non-empty trimmed lines."""
+    ls = _lines(col)
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double")
+                / F.size(ls), 6))
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Character mass of repeated lines / total line character mass —
+    catches one huge duplicated block that dup_line_frac undercounts."""
+    ls = _lines(col)
+    tot = F.aggregate(ls, F.lit(0).cast("long"),
+                      lambda acc, x: acc + F.length(x))
+    dis = F.aggregate(F.array_distinct(ls), F.lit(0).cast("long"),
+                      lambda acc, x: acc + F.length(x))
+    return F.round((tot - dis).cast("double")
+                   / F.greatest(tot, F.lit(1)), 6)
+
+
+def dedup_lines(col: Column) -> Column:
+    """Repetition removal: drop repeated lines keeping the FIRST
+    occurrence (array_distinct preserves first-occurrence order)."""
+    return F.array_join(F.array_distinct(_lines(col)), "\n")
+
+
+def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach every quality metric in one pass (one projection node)."""
+    c = F.col(text_col)
+    return (df.withColumn("n_words", word_count(c))
+              .withColumn("mean_word_len", mean_word_len(c))
+              .withColumn("symbol_word_ratio", symbol_word_ratio(c))
+              .withColumn("alpha_word_frac", alpha_word_frac(c))
+              .withColumn("stop_hits", marker_hits(c, STOPWORDS))
+              .withColumn("bullet_line_frac", bullet_line_frac(c))
+              .withColumn("ellipsis_line_frac", ellipsis_line_frac(c))
+              .withColumn("dup_line_frac", dup_line_frac(c))
+              .withColumn("dup_line_char_frac", dup_line_char_frac(c)))
+
+
+def gopher_keep(df: DataFrame, text_col: str = "text",
+                **overrides) -> DataFrame:
+    """Metrics + one boolean per rule + the final ``keep`` flag.
+
+    Still one map-side projection: used as ``.filter("keep")`` upstream
+    of heavier stages (dedup, embedding) it removes rejected docs
+    before any shuffle touches them.
+    """
+    p = {**DEFAULTS, **overrides}
+    out = gopher_metrics(df, text_col)
+    rules = {
+        "ok_words": (F.col("n_words") >= p["min_words"])
+                    & (F.col("n_words") <= p["max_words"]),
+        "ok_mean_word_len": (F.col("mean_word_len") >= p["min_mean_word_len"])
+                            & (F.col("mean_word_len") <= p["max_mean_word_len"]),
+        "ok_symbol": F.col("symbol_word_ratio") <= p["max_symbol_word_ratio"],
+        "ok_alpha": F.col("alpha_word_frac") >= p["min_alpha_word_frac"],
+        "ok_stop": F.col("stop_hits") >= p["min_stop_hits"],
+        "ok_bullet": F.col("bullet_line_frac") <= p["max_bullet_line_frac"],
+        "ok_ellipsis": F.col("ellipsis_line_frac")
+                       <= p["max_ellipsis_line_frac"],
+        "ok_dup_lines": F.col("dup_line_frac") <= p["max_dup_line_frac"],
+        "ok_dup_chars": F.col("dup_line_char_frac")
+                        <= p["max_dup_line_char_frac"],
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("keep", keep)

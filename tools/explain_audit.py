@@ -23,7 +23,8 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "cdc_scd2_history", "cdc_quarantine_split",
          "dedup_minhash_jaccard",
          "dedup_cluster_canonical", "sample_training_mix",
-         "sample_topk_per_lang", "pack_token_shards"]
+         "sample_topk_per_lang", "pack_token_shards",
+         "text_gopher_quality", "text_decontaminate"]
 
 
 def audit(name, df):
