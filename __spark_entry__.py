@@ -1105,6 +1105,49 @@ def stream_windowed_counts(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.py): view events
+    joined to click events of the same user within [view_ts, view_ts +
+    7 days], both sides live streams drained availableNow — Spark's
+    symmetric hash join with the time-range predicate that bounds the
+    state store. The streaming result must equal the batch inequality
+    join the DuckDB oracle runs."""
+    from tinyetl_spark.streaming.joins import interval_join_streams
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts")))
+    work = tempfile.mkdtemp(prefix="tinyetl_sij_")
+    try:
+        ev.filter("event_type = 'view'") \
+          .select(F.col("event_id").alias("view_id"), "user_id", "ts") \
+          .write.parquet(f"{work}/l")
+        ev.filter("event_type = 'click'") \
+          .select(F.col("event_id").alias("click_id"), "user_id",
+                  F.col("ts").alias("cts")).write.parquet(f"{work}/r")
+        l = spark.readStream.schema(
+            "view_id long, user_id long, ts timestamp").parquet(f"{work}/l")
+        r = spark.readStream.schema(
+            "click_id long, user_id long, cts timestamp").parquet(f"{work}/r")
+        joined = interval_join_streams(
+            l, r, on=["user_id"], left_time="ts", right_time="cts",
+            lower_seconds=0, upper_seconds=7 * 86400,
+            watermark_seconds=10 * 86400)
+        q = (joined.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ck")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.read.schema(
+                   "view_id long, user_id long, ts timestamp, "
+                   "click_id long, cts timestamp")
+               .parquet(f"{work}/out")
+               .select("view_id", "click_id", "user_id")
+               .orderBy("view_id", "click_id"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_sessionized_counts(spark, sf_dir):
     """Structured Streaming SESSION windows — the stateful window-MERGE
     operator in the state store (F.session_window, 30-min gap), drained
@@ -1481,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_above_cust_avg": q_orders_above_cust_avg,
         "q_user_running_value": q_user_running_value,
         "stream_sessionized_counts": stream_sessionized_counts,
+        "stream_interval_join": stream_interval_join,
         "q_set_ops": q_set_ops,
         "q_string_agg_regions": q_string_agg_regions,
         "q_daily_event_rollup": q_daily_event_rollup,
@@ -1993,6 +2037,15 @@ def oracle_sql() -> dict[str, str]:
                          6) as delta_prev
             from events
             order by user_id, event_id
+        """,
+        "stream_interval_join": """
+            select l.event_id as view_id, r.event_id as click_id,
+                   l.user_id
+            from events l join events r
+              on l.user_id = r.user_id
+             and l.event_type = 'view' and r.event_type = 'click'
+             and r.ts >= l.ts and r.ts <= l.ts + interval 7 day
+            order by view_id, click_id
         """,
         "stream_sessionized_counts": """
             with marked as (
