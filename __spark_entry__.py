@@ -887,6 +887,31 @@ def text_decontaminate(spark, sf_dir):
                 .select("doc_id", "contaminated").orderBy("doc_id"))
 
 
+def text_pii_redact(spark, sf_dir):
+    """PII redaction (operators/pii.py): deterministic emails/IPs/phones
+    are woven into each doc in-query (the sf corpus has none), then
+    scrubbed in the fixed email→ipv4→phone order; counts are taken on
+    the original text. The oracle rebuilds the same augmented text and
+    applies the same RE2-compatible patterns."""
+    from tinyetl_spark.operators import pii as PII
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    aug = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" contact user"), doc.cast("string"),
+        F.lit("@example.com or "),
+        (doc % 256).cast("string"), F.lit("."),
+        ((doc * 7) % 256).cast("string"), F.lit(".0."),
+        (doc % 100).cast("string"),
+        F.when(doc % 4 == 0,
+               F.concat(F.lit(" call +49 30 "),
+                        (doc % 10000).cast("string"), F.lit("99"))
+               ).otherwise(F.lit("")))
+    return (PII.redact_frame(d.select("doc_id", aug.alias("text")))
+               .select("doc_id", "n_email", "n_ipv4", "n_phone", "text")
+               .orderBy("doc_id"))
+
+
 def dedup_exact_groups(spark, sf_dir):
     """Exact dedup over a dup-augmented corpus (every doc duplicated with
     id+1e6 so groups are non-trivial)."""
@@ -1504,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": text_profile,
         "text_gopher_quality": text_gopher_quality,
         "text_decontaminate": text_decontaminate,
+        "text_pii_redact": text_pii_redact,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1790,6 +1816,34 @@ def oracle_sql() -> dict[str, str]:
                and ellipsis_line_frac <= 0.3 and dup_line_frac <= 0.3
                and dup_line_char_frac <= 0.2) as keep
             from m order by doc_id
+        """,
+        "text_pii_redact": r"""
+            with aug as (
+              select doc_id,
+                substr(text, 1, 60)
+                || ' contact user' || doc_id || '@example.com or '
+                || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                || '.0.' || (doc_id % 100)
+                || case when doc_id % 4 = 0
+                        then ' call +49 30 ' || (doc_id % 10000) || '99'
+                        else '' end as t
+              from documents)
+            select doc_id,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', 0)
+                  )::bigint as n_email,
+              len(regexp_extract_all(t,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', 0)
+                  )::bigint as n_ipv4,
+              len(regexp_extract_all(t, '\+[0-9][0-9 \-]{6,}[0-9]', 0)
+                  )::bigint as n_phone,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                  '[IP]', 'g'),
+                  '\+[0-9][0-9 \-]{6,}[0-9]', '[PHONE]', 'g') as text
+            from aug order by doc_id
         """,
         "text_decontaminate": r"""
             with n as (

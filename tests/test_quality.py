@@ -124,3 +124,32 @@ def test_contamination_plan_is_broadcast_semi_join(spark):
     # shuffles allowed are the bench-side distinct (inside the broadcast
     # subtree) and the final distinct over the bounded hit set
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ----------------------------------------------------- PII redaction
+
+def test_pii_redact_all_kinds(spark):
+    from tinyetl_spark.operators import pii as P
+    d = _docs(spark, [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 10.0.255.7 port open"),
+        (3, "call +1 415-555 0199 today"),
+        (4, "clean text with no pii at all"),
+        (5, "a@b.io via 1.2.3.4 or +49 30 1234567"),
+    ])
+    out = {r["doc_id"]: r for r in P.redact_frame(d).collect()}
+    assert out[1]["text"] == "mail [EMAIL] now" and out[1]["n_email"] == 1
+    assert out[2]["text"] == "server at [IP] port open"
+    assert out[3]["text"] == "call [PHONE] today" and out[3]["n_phone"] == 1
+    assert out[4]["text"] == "clean text with no pii at all"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    assert out[5]["text"] == "[EMAIL] via [IP] or [PHONE]"
+
+
+def test_pii_redact_kind_subset_preserves_order(spark):
+    from tinyetl_spark.operators import pii as P
+    import pyspark.sql.functions as FF
+    d = _docs(spark, [(1, "a@b.io via 1.2.3.4")])
+    got = d.select(P.redact(FF.col("text"), kinds=("ipv4",)).alias("t")) \
+           .first()["t"]
+    assert got == "a@b.io via [IP]"
