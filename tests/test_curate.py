@@ -1,0 +1,84 @@
+"""Curation funnel (tinyetl_spark/curate.py) and the `curate` CLI."""
+
+import os
+
+import pytest
+
+from tinyetl_spark.curate import curate_corpus
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and naps in the "
+        "warm sun of a long afternoon in the quiet valley")
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = (
+        [(i, GOOD + f" take {i} of the story") for i in range(20)]
+        # exact dup of doc 3
+        + [(100, GOOD + " take 3 of the story")]
+        # junk: repetition
+        + [(200, "\n".join(["spam line"] * 6))]
+        # PII in an otherwise-good doc
+        + [(300, GOOD + " take 300 with mail bob@example.com attached")]
+    )
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_funnel_stages_and_counts(spark, corpus):
+    bench = spark.createDataFrame(
+        [(GOOD + " take 7 of the story",)], "text: string")
+    res = curate_corpus(corpus, quality_params={"min_words": 10},
+                        redact_pii=True, dedup="exact",
+                        bench=bench, ngram=28, sample_rate=None)
+    funnel = dict(res.funnel())
+    assert funnel["input"] == 23
+    assert funnel["quality"] == 22          # repetition doc rejected
+    assert funnel["pii_redact"] == 22       # redaction never drops rows
+    assert funnel["dedup_exact"] == 21      # doc 100 collapses into 3
+    assert funnel["decontaminate"] == 20    # doc 7 quoted by the bench
+    ids = sorted(r["doc_id"] for r in res.df.collect())
+    assert 100 not in ids and 200 not in ids and 7 not in ids
+    # PII got scrubbed in place, schema unchanged
+    red = res.df.filter("doc_id = 300").first()["text"]
+    assert "[EMAIL]" in red and "bob@example.com" not in red
+    assert res.df.columns == ["doc_id", "text"]
+
+
+def test_sampling_stage_is_deterministic(spark, corpus):
+    a = curate_corpus(corpus, quality=False, dedup="off",
+                      sample_rate=0.5, seed=7).df
+    b = curate_corpus(corpus.repartition(5), quality=False, dedup="off",
+                      sample_rate=0.5, seed=7).df
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+           sorted(r["doc_id"] for r in b.collect())
+    assert 0 < a.count() < 23
+
+
+def test_cluster_dedup_mode(spark):
+    # three exact copies: the LSH is guaranteed to pair them, and the
+    # 0~1, 1~2, 0~2 edges collapse to one component (chain semantics are
+    # covered in test_components on explicit edges)
+    rows = [(i, GOOD) for i in range(3)] + [(10, "unrelated words only")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    res = curate_corpus(df, quality=False, dedup="cluster")
+    assert sorted(r["doc_id"] for r in res.df.collect()) == [0, 10]
+
+
+def test_bad_dedup_mode_raises(spark, corpus):
+    with pytest.raises(ValueError, match="unknown dedup mode"):
+        curate_corpus(corpus, dedup="fuzzy")
+
+
+def test_cli_curate(spark, corpus, tmpdir_path):
+    from tinyetl_spark.cli import main
+    # extension names the format (bare dirs mean the eventlog source)
+    src = os.path.join(tmpdir_path, "in.parquet")
+    dst = os.path.join(tmpdir_path, "out")
+    corpus.write.parquet(src)
+    rc = main(["curate", src, dst, "--min-words", "10",
+               "--redact-pii", "--dedup", "exact"])
+    assert rc == 0
+    back = spark.read.parquet(dst)
+    assert back.count() == 21
+    assert back.columns == ["doc_id", "text"]

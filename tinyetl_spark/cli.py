@@ -230,6 +230,29 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--version", type=int, default=None,
                     help="read AS OF this snapshot version")
 
+    cu = sub.add_parser("curate",
+                        help="training-corpus curation funnel: quality "
+                             "filter -> PII redact -> dedup -> "
+                             "decontaminate -> sample")
+    cu.add_argument("source", help="corpus source URI (parquet/csv/json)")
+    cu.add_argument("target", help="curated-output parquet dir")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--no-quality", action="store_true")
+    cu.add_argument("--min-words", type=int, default=None)
+    cu.add_argument("--redact-pii", action="store_true")
+    cu.add_argument("--dedup", choices=["exact", "cluster", "off"],
+                    default="exact")
+    cu.add_argument("--decontaminate", default=None, metavar="BENCH_URI",
+                    help="eval-set source; docs sharing any --ngram "
+                         "word n-gram with it are dropped")
+    cu.add_argument("--ngram", type=int, default=13)
+    cu.add_argument("--sample-rate", type=float, default=None)
+    cu.add_argument("--seed", type=int, default=0)
+    cu.add_argument("--no-report", action="store_true",
+                    help="skip the per-stage funnel counts (one extra "
+                         "job per stage)")
+
     runp = sub.add_parser("run", help="run a YAML job")
     runp.add_argument("config")
     runp.add_argument("--preview", type=int)
@@ -291,6 +314,29 @@ def main(argv: list[str] | None = None) -> int:
         if run.unrouted_events:
             where = args.unknown_route_dir or "dropped"
             print(f"unrouted events: {run.unrouted_events} ({where})")
+        return 0
+
+    if args.cmd == "curate":
+        from tinyetl_spark.curate import curate_corpus
+        from tinyetl_spark.sources.files import read_source
+        spark = get_spark(app_name="tinyetl-curate")
+        spark.sparkContext.setLogLevel("ERROR")
+        corpus = read_source(spark, args.source)
+        bench = (read_source(spark, args.decontaminate)
+                 if args.decontaminate else None)
+        qp = ({"min_words": args.min_words}
+              if args.min_words is not None else None)
+        res = curate_corpus(
+            corpus, text_col=args.text_col, id_col=args.id_col,
+            quality=not args.no_quality, quality_params=qp,
+            redact_pii=args.redact_pii, dedup=args.dedup, bench=bench,
+            ngram=args.ngram, sample_rate=args.sample_rate,
+            seed=args.seed)
+        res.df.write.mode("overwrite").parquet(args.target)
+        if not args.no_report:
+            for name, n in res.funnel():
+                print(f"  {name:<14} {n}")
+        print(f"curated corpus -> {args.target}")
         return 0
 
     if args.cmd == "lookup":

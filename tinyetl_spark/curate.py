@@ -1,0 +1,79 @@
+"""Corpus-curation funnel: quality filter → PII redaction → dedup →
+decontamination → deterministic sampling, as one composable call.
+
+Each stage is an existing operator (operators/quality.py, pii.py,
+dedup.py, components.py, decontam.py, sampling.py); this module only
+sequences them in the order real pre-training pipelines run (cheap
+map-side rejects first, shuffling stages later, so rejected docs never
+reach a shuffle) and reports the funnel.
+
+Scale shape: quality + PII are map-only and fuse into the scan; exact
+dedup is one hash-shuffle on the fingerprint; cluster dedup is
+LSH-bucketed (never all-pairs) + O(log n) CC rounds; decontamination
+is a broadcast semi-join; sampling is map-only. Stage COUNTS are an
+optional extra job per stage — skip the report at 100 TB or pay one
+cached pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class CurateResult:
+    df: DataFrame                    # the curated corpus
+    stages: list = field(default_factory=list)   # [(stage_name, DataFrame)]
+
+    def funnel(self) -> list[tuple[str, int]]:
+        """[(stage, surviving_rows)] — one count job per stage."""
+        return [(name, f.count()) for name, f in self.stages]
+
+
+def curate_corpus(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  quality: bool = True, quality_params: dict | None = None,
+                  redact_pii: bool = False,
+                  dedup: str = "exact",           # exact | cluster | off
+                  bench: DataFrame | None = None, ngram: int = 13,
+                  sample_rate: float | None = None,
+                  seed: int = 0) -> CurateResult:
+    from tinyetl_spark.operators import decontam as DCON
+    from tinyetl_spark.operators import dedup as D
+    from tinyetl_spark.operators import pii as PII
+    from tinyetl_spark.operators import quality as Q
+    from tinyetl_spark.operators import sampling as SA
+    from tinyetl_spark.operators.components import dedup_canonical
+
+    cols = df.columns
+    res = CurateResult(df, [("input", df)])
+    cur = df
+    if quality:
+        cur = (Q.gopher_keep(cur, text_col, **(quality_params or {}))
+                .filter("keep").select(*cols))
+        res.stages.append(("quality", cur))
+    if redact_pii:
+        cur = (PII.redact_frame(cur, text_col)
+                  .select(*cols))   # counts dropped: columns stay stable
+        res.stages.append(("pii_redact", cur))
+    if dedup == "exact":
+        cur = D.exact_dedup(cur, id_col, text_col).select(*cols)
+        res.stages.append(("dedup_exact", cur))
+    elif dedup == "cluster":
+        pairs = D.ngram_jaccard_pairs(cur, id_col, text_col)
+        cur = (dedup_canonical(cur, pairs, id_col)
+               .filter("is_canonical").select(*cols))
+        res.stages.append(("dedup_cluster", cur))
+    elif dedup not in (None, "off"):
+        raise ValueError(f"unknown dedup mode {dedup!r}")
+    if bench is not None:
+        cur = DCON.decontaminate(cur, bench, text_col, id_col, n=ngram)
+        res.stages.append(("decontaminate", cur))
+    if sample_rate is not None:
+        cur = SA.bernoulli_sample(cur, id_col, sample_rate, seed)
+        res.stages.append(("sample", cur))
+    res.df = cur
+    return res
