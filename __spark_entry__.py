@@ -887,6 +887,23 @@ def text_decontaminate(spark, sf_dir):
                 .select("doc_id", "contaminated").orderBy("doc_id"))
 
 
+def text_repetition_ngrams(spark, sf_dir):
+    """Gopher inter-n-gram repetition metrics (operators/quality.py:
+    repetition_metrics): top-2-gram and duplicated-5-gram character
+    mass. Every 4th doc gets its first 30 chars appended twice so both
+    metrics fire hard on a deterministic slice; the oracle rebuilds the
+    same frequency tables with DuckDB group-bys."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    s1 = F.substring(F.col("text"), 1, 30)
+    aug = F.when(doc % 4 == 0,
+                 F.concat(F.col("text"), F.lit(" "), s1, F.lit(" "), s1)
+                 ).otherwise(F.col("text"))
+    return (QF.repetition_metrics(d.select("doc_id", aug.alias("text")),
+                                  top_n=2, dup_n=5)
+              .orderBy("doc_id"))
+
+
 def text_pii_redact(spark, sf_dir):
     """PII redaction (operators/pii.py): deterministic emails/IPs/phones
     are woven into each doc in-query (the sf corpus has none), then
@@ -1530,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": text_gopher_quality,
         "text_decontaminate": text_decontaminate,
         "text_pii_redact": text_pii_redact,
+        "text_repetition_ngrams": text_repetition_ngrams,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1816,6 +1834,54 @@ def oracle_sql() -> dict[str, str]:
                and ellipsis_line_frac <= 0.3 and dup_line_frac <= 0.3
                and dup_line_char_frac <= 0.2) as keep
             from m order by doc_id
+        """,
+        "text_repetition_ngrams": r"""
+            with aug as (
+              select doc_id,
+                case when doc_id % 4 = 0
+                     then text || ' ' || substr(text, 1, 30)
+                          || ' ' || substr(text, 1, 30)
+                     else text end as t
+              from documents),
+            n as (select doc_id,
+                         trim(regexp_replace(lower(t), '\s+', ' ', 'g'))
+                           as nt
+                  from aug),
+            w as (select doc_id, nt,
+                         case when nt = '' then []::varchar[]
+                              else string_split(nt, ' ') end as ws
+                  from n),
+            g2 as (select doc_id,
+                     unnest(case when len(ws) >= 2
+                            then [array_to_string(ws[i:i+1], ' ')
+                                  for i in generate_series(1, len(ws)-1)]
+                            else []::varchar[] end) as g
+                   from w),
+            c2 as (select doc_id, g, count(*) as cnt
+                   from g2 group by 1, 2),
+            t2 as (select doc_id, max(cnt * length(g)) as m
+                   from c2 group by 1),
+            g5 as (select doc_id,
+                     unnest(case when len(ws) >= 5
+                            then [array_to_string(ws[i:i+4], ' ')
+                                  for i in generate_series(1, len(ws)-4)]
+                            else []::varchar[] end) as g
+                   from w),
+            c5 as (select doc_id, g, count(*) as cnt
+                   from g5 group by 1, 2),
+            d5 as (select doc_id, sum(cnt * length(g)) as m
+                   from c5 where cnt >= 2 group by 1),
+            tot as (select doc_id, greatest(length(nt), 1) as total
+                    from n)
+            select tot.doc_id,
+              round(coalesce(t2.m, 0)::double / total, 6)
+                as top_ngram_char_frac,
+              round(coalesce(d5.m, 0)::double / total, 6)
+                as dup_ngram_char_frac
+            from tot
+            left join t2 using (doc_id)
+            left join d5 using (doc_id)
+            order by tot.doc_id
         """,
         "text_pii_redact": r"""
             with aug as (

@@ -153,3 +153,26 @@ def test_pii_redact_kind_subset_preserves_order(spark):
     got = d.select(P.redact(FF.col("text"), kinds=("ipv4",)).alias("t")) \
            .first()["t"]
     assert got == "a@b.io via [IP]"
+
+
+# ----------------------------------------------------- n-gram repetition
+
+def test_repetition_metrics_hand_computed(spark):
+    d = _docs(spark, [
+        (1, "a b a b a b"),              # top 2-gram "a b" x3, mass 9/11
+        (2, "x y z x y z x y z x y z"),  # every 5-gram duplicated
+        (3, "all distinct words right here"),
+        (4, "a b"),                       # single 2-gram, no 5-grams
+        (5, ""),
+    ])
+    got = {r["doc_id"]: r for r in Q.repetition_metrics(d).collect()}
+    assert got[1]["top_ngram_char_frac"] == round(9 / 11, 6)
+    assert got[1]["dup_ngram_char_frac"] == 0.0
+    # 8 sliding 5-grams over a 4x-repeated triple: counts 3+3+2, len 9
+    assert got[2]["dup_ngram_char_frac"] == round(72 / 23, 6)  # > 1 by design
+    assert got[3]["dup_ngram_char_frac"] == 0.0
+    assert got[3]["top_ngram_char_frac"] < 0.5
+    assert got[4]["top_ngram_char_frac"] == 1.0
+    assert got[4]["dup_ngram_char_frac"] == 0.0
+    assert got[5]["top_ngram_char_frac"] == 0.0
+    assert got[5]["dup_ngram_char_frac"] == 0.0

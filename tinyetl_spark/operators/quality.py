@@ -127,6 +127,70 @@ def dedup_lines(col: Column) -> Column:
     return F.array_join(F.array_distinct(_lines(col)), "\n")
 
 
+def _grams_with_mult(col: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup.shingles, which
+    dedups) — repetition metrics need every occurrence."""
+    toks = F.split(norm_text(col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", top_n: int = 2,
+                       dup_n: int = 5) -> DataFrame:
+    """Gopher's inter-n-gram repetition signals, per document:
+
+    - ``top_ngram_char_frac``: characters covered by every occurrence of
+      the single most frequent ``top_n``-gram (count × gram length,
+      spaces included) over the normalized text length;
+    - ``dup_ngram_char_frac``: the same mass summed over ALL
+      ``dup_n``-grams that occur more than once (overlapping
+      occurrences each count, so the ratio may exceed 1 on
+      pathologically repetitive docs — it is a reject signal, not a
+      probability).
+
+    Unlike the single-row rules in :func:`gopher_metrics`, the n-gram
+    frequency table needs a per-(doc, gram) aggregation: explode →
+    partial-agg count (map-side combine) → per-doc max/sum. Two keyed
+    shuffles whose cardinality is O(total grams), the standard shape of
+    every Gopher-style repetition pass at crawl scale. Rounded to 6dp;
+    reproducible in DuckDB (oracle row text_repetition_ngrams).
+    """
+    c = F.col(text_col)
+    base = df.select(F.col(id_col),
+                     F.greatest(F.length(norm_text(c)), F.lit(1))
+                      .alias("_total"),
+                     _grams_with_mult(c, top_n).alias("_g_top"),
+                     _grams_with_mult(c, dup_n).alias("_g_dup"))
+    counts_top = (base.select(id_col, F.explode("_g_top").alias("g"))
+                      .groupBy(id_col, "g")
+                      .agg(F.count(F.lit(1)).alias("cnt"))
+                      .groupBy(id_col)
+                      .agg(F.max(F.col("cnt") * F.length("g"))
+                            .alias("_top_mass")))
+    counts_dup = (base.select(id_col, F.explode("_g_dup").alias("g"))
+                      .groupBy(id_col, "g")
+                      .agg(F.count(F.lit(1)).alias("cnt"))
+                      .filter(F.col("cnt") >= 2)
+                      .groupBy(id_col)
+                      .agg(F.sum(F.col("cnt") * F.length("g"))
+                            .alias("_dup_mass")))
+    return (base.select(id_col, "_total")
+                .join(counts_top, id_col, "left_outer")
+                .join(counts_dup, id_col, "left_outer")
+                .select(
+                    F.col(id_col),
+                    F.round(F.coalesce(F.col("_top_mass"), F.lit(0))
+                            .cast("double") / F.col("_total"), 6)
+                     .alias("top_ngram_char_frac"),
+                    F.round(F.coalesce(F.col("_dup_mass"), F.lit(0))
+                            .cast("double") / F.col("_total"), 6)
+                     .alias("dup_ngram_char_frac")))
+
+
 def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach every quality metric in one pass (one projection node)."""
     c = F.col(text_col)
