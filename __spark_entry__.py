@@ -907,7 +907,7 @@ def text_repetition_ngrams(spark, sf_dir):
 def text_pii_redact(spark, sf_dir):
     """PII redaction (operators/pii.py): deterministic emails/IPs/phones
     are woven into each doc in-query (the sf corpus has none), then
-    scrubbed in the fixed email→ipv4→phone order; counts are taken on
+    scrubbed in the fixed email\u2192ipv4\u2192phone order; counts are taken on
     the original text. The oracle rebuilds the same augmented text and
     applies the same RE2-compatible patterns."""
     from tinyetl_spark.operators import pii as PII
@@ -926,6 +926,61 @@ def text_pii_redact(spark, sf_dir):
                ).otherwise(F.lit("")))
     return (PII.redact_frame(d.select("doc_id", aug.alias("text")))
                .select("doc_id", "n_email", "n_ipv4", "n_phone", "text")
+               .orderBy("doc_id"))
+
+
+def text_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (operators/normalize.py): decomposed
+    sequences (e+U+0301, A+U+030A), the ANGSTROM SIGN singleton
+    (U+212B -> U+00C5) and a BEL control are woven deterministically
+    into each doc, then control-stripped (Catalyst) and NFC-composed
+    (Arrow-batched pandas UDF -- the one Python stage in the text
+    surface, vectorized per the engine UDF rule). The oracle replays it
+    with DuckDB's nfc_normalize + the same RE2 character class, so the
+    normalized strings are verified byte-for-byte."""
+    from tinyetl_spark.operators import normalize as NORM
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    aug = F.concat(
+        F.substring(F.col("text"), 1, 50),
+        F.lit(" cafe\u0301 A\u030a"),    # decomposed e-acute, A-ring
+        F.when(doc % 3 == 0, F.lit("\u0007")).otherwise(F.lit("")),
+        F.when(doc % 5 == 0, F.lit("\u212b")).otherwise(F.lit("")))
+    out = NORM.nfc_normalize_frame(d.select("doc_id", aug.alias("text")))
+    return (out.select(
+                "doc_id", "text_nfc",
+                F.length("text_nfc").alias("nfc_chars"),
+                (F.length("text") - F.length("text_nfc"))
+                    .alias("delta_chars"))
+               .orderBy("doc_id"))
+
+
+def text_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist (operators/normalize.py
+    blocklist_filter): hosts are synthesized so exact matches,
+    subdomain matches, and near-miss hosts (a blocked domain embedded
+    mid-host, NOT a dot-suffix) all occur. The literal-list path is
+    pure Catalyst (host-suffix expansion + arrays_overlap, zero joins);
+    the oracle states the semantics independently as
+    host = d OR host LIKE '%.d'."""
+    from tinyetl_spark.operators import normalize as NORM
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    host = (F.when(m == 0, F.lit("spam.bad.example"))
+             .when(m == 1, F.lit("bad.example"))
+             .when(m == 2, F.lit("goodsite.com"))
+             .when(m == 3, F.lit("sub.tracker.net"))
+             .when(m == 4, F.lit("tracker.net.safe.org"))
+             .when(m == 5, F.lit("deep.a.b.spamdomain.io"))
+             .otherwise(F.lit("example.org")))
+    urls = d.select("doc_id", F.concat(F.lit("https://"), host, F.lit("/p/"),
+                                       F.col("doc_id").cast("string"))
+                              .alias("url"))
+    out = NORM.blocklist_filter(
+        urls, ["bad.example", "tracker.net", "spamdomain.io"],
+        keep_col="kept")
+    return (out.select("doc_id",
+                       NORM.url_host(F.col("url")).alias("host"), "kept")
                .orderBy("doc_id"))
 
 
@@ -1548,6 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text_decontaminate,
         "text_pii_redact": text_pii_redact,
         "text_repetition_ngrams": text_repetition_ngrams,
+        "text_unicode_nfc": text_unicode_nfc,
+        "text_domain_blocklist": text_domain_blocklist,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1882,6 +1939,45 @@ def oracle_sql() -> dict[str, str]:
             left join t2 using (doc_id)
             left join d5 using (doc_id)
             order by tot.doc_id
+        """,
+        "text_unicode_nfc": r"""
+            with aug as (
+              select doc_id,
+                substr(text, 1, 50)
+                || ' cafe' || chr(769) || ' A' || chr(778)
+                || case when doc_id % 3 = 0 then chr(7) else '' end
+                || case when doc_id % 5 = 0 then chr(8491) else '' end
+                  as text
+              from documents),
+            n as (
+              select doc_id, text,
+                nfc_normalize(regexp_replace(
+                  text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+                  as text_nfc
+              from aug)
+            select doc_id, text_nfc,
+                   length(text_nfc) as nfc_chars,
+                   length(text) - length(text_nfc) as delta_chars
+            from n order by doc_id
+        """,
+        "text_domain_blocklist": r"""
+            with u as (
+              select doc_id,
+                case doc_id % 7
+                  when 0 then 'spam.bad.example'
+                  when 1 then 'bad.example'
+                  when 2 then 'goodsite.com'
+                  when 3 then 'sub.tracker.net'
+                  when 4 then 'tracker.net.safe.org'
+                  when 5 then 'deep.a.b.spamdomain.io'
+                  else 'example.org' end as host
+              from documents)
+            select doc_id, host,
+              not (host = 'bad.example' or host like '%.bad.example'
+                or host = 'tracker.net' or host like '%.tracker.net'
+                or host = 'spamdomain.io' or host like '%.spamdomain.io')
+                as kept
+            from u order by doc_id
         """,
         "text_pii_redact": r"""
             with aug as (

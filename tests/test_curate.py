@@ -82,3 +82,40 @@ def test_cli_curate(spark, corpus, tmpdir_path):
     back = spark.read.parquet(dst)
     assert back.count() == 21
     assert back.columns == ["doc_id", "text"]
+
+
+def test_blocklist_and_nfc_stages(spark):
+    rows = [
+        (1, "https://ok.org/a", GOOD + " one"),
+        (2, "https://bad.example/x", GOOD + " two"),      # exact block
+        (3, "https://sub.bad.example/y", GOOD + " three"),  # subdomain
+        (4, "https://notbad.example/z",
+         GOOD + " café four"),                        # decomposed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    res = curate_corpus(df, blocklist=["bad.example"], nfc=True,
+                        quality_params={"min_words": 10}, dedup="exact")
+    funnel = dict(res.funnel())
+    assert funnel["input"] == 4
+    assert funnel["blocklist"] == 2          # docs 2 and 3 dropped
+    assert "nfc" in funnel                   # stage ran, no row change
+    ids = sorted(r["doc_id"] for r in res.df.collect())
+    assert ids == [1, 4]
+    t4 = res.df.filter("doc_id = 4").first()["text"]
+    assert "café" in t4 and "café" not in t4
+    assert res.df.columns == ["doc_id", "url", "text"]
+
+
+def test_nfc_merges_decomposed_duplicates(spark):
+    """Composed and decomposed spellings of the SAME doc must collapse
+    to one row once nfc=True runs before exact dedup."""
+    rows = [(1, GOOD + " café story"),
+            (2, GOOD + " café story")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    no_nfc = curate_corpus(df, quality_params={"min_words": 10},
+                           dedup="exact")
+    with_nfc = curate_corpus(df, nfc=True,
+                             quality_params={"min_words": 10},
+                             dedup="exact")
+    assert no_nfc.df.count() == 2
+    assert with_nfc.df.count() == 1

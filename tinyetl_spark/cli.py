@@ -238,6 +238,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("target", help="curated-output parquet dir")
     cu.add_argument("--id-col", default="doc_id")
     cu.add_argument("--text-col", default="text")
+    cu.add_argument("--blocklist", default=None, metavar="FILE",
+                    help="domain blocklist (one domain per line); drops "
+                         "docs whose --url-col host is a blocked domain "
+                         "or a subdomain of one")
+    cu.add_argument("--url-col", default="url")
+    cu.add_argument("--nfc", action="store_true",
+                    help="Unicode-NFC-normalize + control-strip the "
+                         "text column before filtering")
     cu.add_argument("--no-quality", action="store_true")
     cu.add_argument("--min-words", type=int, default=None)
     cu.add_argument("--redact-pii", action="store_true")
@@ -326,8 +334,14 @@ def main(argv: list[str] | None = None) -> int:
                  if args.decontaminate else None)
         qp = ({"min_words": args.min_words}
               if args.min_words is not None else None)
+        blocked = None
+        if args.blocklist:
+            with open(args.blocklist, encoding="utf-8") as f:
+                blocked = [ln.strip() for ln in f
+                           if ln.strip() and not ln.startswith("#")]
         res = curate_corpus(
             corpus, text_col=args.text_col, id_col=args.id_col,
+            blocklist=blocked, url_col=args.url_col, nfc=args.nfc,
             quality=not args.no_quality, quality_params=qp,
             redact_pii=args.redact_pii, dedup=args.dedup, bench=bench,
             ngram=args.ngram, sample_rate=args.sample_rate,

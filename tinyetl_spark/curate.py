@@ -35,6 +35,8 @@ class CurateResult:
 
 def curate_corpus(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", *,
+                  blocklist=None, url_col: str = "url",
+                  nfc: bool = False,
                   quality: bool = True, quality_params: dict | None = None,
                   redact_pii: bool = False,
                   dedup: str = "exact",           # exact | cluster | off
@@ -43,6 +45,7 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   seed: int = 0) -> CurateResult:
     from tinyetl_spark.operators import decontam as DCON
     from tinyetl_spark.operators import dedup as D
+    from tinyetl_spark.operators import normalize as NORM
     from tinyetl_spark.operators import pii as PII
     from tinyetl_spark.operators import quality as Q
     from tinyetl_spark.operators import sampling as SA
@@ -51,6 +54,16 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     cols = df.columns
     res = CurateResult(df, [("input", df)])
     cur = df
+    if blocklist is not None:
+        # cheapest reject first: drops whole hosts before any text work
+        cur = NORM.blocklist_filter(cur, blocklist, url_col=url_col)
+        res.stages.append(("blocklist", cur))
+    if nfc:
+        # canonical Unicode BEFORE quality/dedup so composed and
+        # decomposed spellings of the same doc share one fingerprint
+        cur = (NORM.nfc_normalize_frame(cur, text_col, out_col="_nfc")
+                   .withColumn(text_col, F.col("_nfc")).drop("_nfc"))
+        res.stages.append(("nfc", cur))
     if quality:
         cur = (Q.gopher_keep(cur, text_col, **(quality_params or {}))
                 .filter("keep").select(*cols))
