@@ -984,6 +984,34 @@ def text_domain_blocklist(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def text_script_profile(spark, sf_dir):
+    """Unicode script detection (operators/text.py script_profile):
+    per-script character fractions + dominant script over a corpus
+    augmented with deterministic Cyrillic/Greek/Arabic/CJK/Hangul
+    snippets (the sf documents are pure ASCII, so the augmentation is
+    what makes every branch non-trivial; snippet repetition varies by
+    doc_id so fractions differ across docs). Pure Catalyst — BMP
+    code-point ranges count identically under Java regex (literal range
+    chars) and the oracle's RE2 (\\x{....} escapes)."""
+    from tinyetl_spark.operators import text as T
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    rep = (doc % 3 + 1).cast("int")
+    snip = (F.when(doc % 7 == 0, F.lit(" привет мир"))
+             .when(doc % 7 == 1, F.lit(" γειά σου κόσμε"))
+             .when(doc % 7 == 2, F.lit(" مرحبا بالعالم"))
+             .when(doc % 7 == 3, F.lit(" 你好世界 こんにちは"))
+             .when(doc % 7 == 4, F.lit(" 안녕하세요 세계"))
+             .otherwise(F.lit("")))
+    aug = F.concat(F.substring(F.col("text"), 1, 30 + (doc % 5).cast("int")),
+                   F.repeat(snip, rep))
+    out = T.script_profile(d.select("doc_id", aug.alias("text")))
+    return (out.select("doc_id", "script_chars",
+                       *[f"{s}_frac" for s in T.SCRIPT_ORDER],
+                       "dominant_script")
+               .orderBy("doc_id"))
+
+
 def dedup_exact_groups(spark, sf_dir):
     """Exact dedup over a dup-augmented corpus (every doc duplicated with
     id+1e6 so groups are non-trivial)."""
@@ -1605,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_ngrams": text_repetition_ngrams,
         "text_unicode_nfc": text_unicode_nfc,
         "text_domain_blocklist": text_domain_blocklist,
+        "text_script_profile": text_script_profile,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1978,6 +2007,57 @@ def oracle_sql() -> dict[str, str]:
                 or host = 'spamdomain.io' or host like '%.spamdomain.io')
                 as kept
             from u order by doc_id
+        """,
+        "text_script_profile": r"""
+            with aug as (
+              select doc_id,
+                substr(text, 1, 30 + (doc_id % 5)::int)
+                || repeat(case doc_id % 7
+                            when 0 then ' привет мир'
+                            when 1 then ' γειά σου κόσμε'
+                            when 2 then ' مرحبا بالعالم'
+                            when 3 then ' 你好世界 こんにちは'
+                            when 4 then ' 안녕하세요 세계'
+                            else '' end,
+                          (doc_id % 3 + 1)::int) as text
+              from documents),
+            cnt as (
+              select doc_id,
+                length(regexp_replace(text,
+                  '[^A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]',
+                  '', 'g'))::bigint as n_latin,
+                length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))::bigint as n_cyrillic,
+                length(regexp_replace(text, '[^\x{0370}-\x{03FF}]', '', 'g'))::bigint as n_greek,
+                length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g'))::bigint as n_arabic,
+                length(regexp_replace(text,
+                  '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g'))::bigint as n_cjk,
+                length(regexp_replace(text, '[^\x{AC00}-\x{D7AF}]', '', 'g'))::bigint as n_hangul
+              from aug),
+            tot as (
+              select *,
+                (n_latin + n_cyrillic + n_greek + n_arabic + n_cjk + n_hangul)::bigint
+                  as script_chars
+              from cnt)
+            select doc_id, script_chars,
+              round(n_latin::double / greatest(script_chars, 1), 6) as latin_frac,
+              round(n_cyrillic::double / greatest(script_chars, 1), 6) as cyrillic_frac,
+              round(n_greek::double / greatest(script_chars, 1), 6) as greek_frac,
+              round(n_arabic::double / greatest(script_chars, 1), 6) as arabic_frac,
+              round(n_cjk::double / greatest(script_chars, 1), 6) as cjk_frac,
+              round(n_hangul::double / greatest(script_chars, 1), 6) as hangul_frac,
+              case when n_latin > 0 and n_latin >= n_cyrillic and n_latin >= n_greek
+                        and n_latin >= n_arabic and n_latin >= n_cjk
+                        and n_latin >= n_hangul then 'latin'
+                   when n_cyrillic > 0 and n_cyrillic >= n_greek and n_cyrillic >= n_arabic
+                        and n_cyrillic >= n_cjk and n_cyrillic >= n_hangul then 'cyrillic'
+                   when n_greek > 0 and n_greek >= n_arabic and n_greek >= n_cjk
+                        and n_greek >= n_hangul then 'greek'
+                   when n_arabic > 0 and n_arabic >= n_cjk and n_arabic >= n_hangul
+                        then 'arabic'
+                   when n_cjk > 0 and n_cjk >= n_hangul then 'cjk'
+                   when n_hangul > 0 then 'hangul'
+                   else 'und' end as dominant_script
+            from tot order by doc_id
         """,
         "text_pii_redact": r"""
             with aug as (

@@ -616,3 +616,38 @@ def test_canonical_url(spark):
     got = [r["c"] for r in
            df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_script_profile_detects_and_breaks_ties(spark):
+    rows = [
+        (0, "hello world plain ascii"),
+        (1, "привет мир всем людям"),
+        (2, "γειά σου κόσμε"),
+        (3, "مرحبا بالعالم"),
+        (4, "你好世界 こんにちは みなさん"),
+        (5, "안녕하세요 세계"),
+        (6, "1234 5678 ... !!!"),          # no script chars at all
+        (7, "ab ыв"),                        # 2 latin vs 2 cyrillic: tie
+        (8, "mixed текст with кириллица inside"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           T.script_profile(df).orderBy("doc_id").collect()}
+    assert out[0]["dominant_script"] == "latin"
+    assert out[1]["dominant_script"] == "cyrillic"
+    assert out[2]["dominant_script"] == "greek"
+    assert out[3]["dominant_script"] == "arabic"
+    assert out[4]["dominant_script"] == "cjk"
+    assert out[5]["dominant_script"] == "hangul"
+    assert out[6]["dominant_script"] == "und"
+    assert out[6]["script_chars"] == 0
+    # tie breaks by SCRIPT_ORDER priority (latin first)
+    assert out[7]["dominant_script"] == "latin"
+    assert out[7]["latin_frac"] == out[7]["cyrillic_frac"] == 0.5
+    # fractions partition script_chars (sum to ~1 when any exist)
+    for i in range(6):
+        s = sum(out[i][f"{name}_frac"] for name in T.SCRIPT_ORDER)
+        assert abs(s - 1.0) < 1e-5, (i, s)
+    # latin-dominant mixed doc still reports the cyrillic fraction
+    assert out[8]["dominant_script"] == "latin"
+    assert 0 < out[8]["cyrillic_frac"] < 0.5

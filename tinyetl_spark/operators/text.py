@@ -144,3 +144,67 @@ def canonical_url(col: Column) -> Column:
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection — the language-routing signal a web-crawl
+# pipeline computes BEFORE any model-based lang-id: which writing system
+# dominates the page. Deterministic BMP code-point ranges (the major
+# scripts of the crawl), so both Spark (Java regex, literal range chars)
+# and the DuckDB oracle (RE2 \x{....} escapes) count identically.
+# No reference equivalent; part of the training-data surface.
+
+SCRIPT_RANGES: dict[str, str] = {
+    # Latin letters incl. Latin-1 Supplement + Extended-A/B, minus the
+    # x/÷ signs embedded in the letter block (U+00D7, U+00F7).
+    "latin": "A-Za-zÀ-ÖØ-öø-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    # Han + Hiragana + Katakana (the CJK page signal).
+    "cjk": "぀-ヿ一-鿿",
+    "hangul": "가-힯",
+}
+
+# Priority order for dominant-script tie-breaks (same CASE-cascade
+# technique as lang_id so the SQL oracle is the identical procedure).
+SCRIPT_ORDER = ["latin", "cyrillic", "greek", "arabic", "cjk", "hangul"]
+
+
+def script_char_count(col: Column, script: str) -> Column:
+    """Number of characters of ``script`` in the raw text (count by
+    removal + length: reproducible in any engine that has
+    regexp_replace, unlike regexp_count)."""
+    rng = SCRIPT_RANGES[script]
+    return F.length(F.regexp_replace(col, f"[^{rng}]", "")).cast("long")
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-script fractions + dominant script.
+
+    Output columns: ``script_chars`` (total chars in any known script),
+    ``<script>_frac`` for each entry of SCRIPT_RANGES (6dp, fraction of
+    script_chars), and ``dominant_script`` (priority-ordered argmax;
+    'und' when the text has no script characters at all).
+    """
+    c = F.col(text_col)
+    cnt = {s: script_char_count(c, s) for s in SCRIPT_ORDER}
+    out = df
+    for s in SCRIPT_ORDER:
+        out = out.withColumn(f"_n_{s}", cnt[s])
+    total = sum((F.col(f"_n_{s}") for s in SCRIPT_ORDER[1:]),
+                F.col(f"_n_{SCRIPT_ORDER[0]}"))
+    out = out.withColumn("script_chars", total.cast("long"))
+    denom = F.greatest(F.col("script_chars"), F.lit(1)).cast("double")
+    for s in SCRIPT_ORDER:
+        out = out.withColumn(
+            f"{s}_frac", F.round(F.col(f"_n_{s}").cast("double") / denom, 6))
+    dom = F.lit("und")
+    for i in range(len(SCRIPT_ORDER) - 1, -1, -1):
+        s = SCRIPT_ORDER[i]
+        cond = F.col(f"_n_{s}") > 0
+        for later in SCRIPT_ORDER[i + 1:]:
+            cond = cond & (F.col(f"_n_{s}") >= F.col(f"_n_{later}"))
+        dom = F.when(cond, F.lit(s)).otherwise(dom)
+    out = out.withColumn("dominant_script", dom)
+    return out.drop(*[f"_n_{s}" for s in SCRIPT_ORDER])
