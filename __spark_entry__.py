@@ -984,6 +984,36 @@ def text_domain_blocklist(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def warc_roundtrip(spark, sf_dir):
+    """WARC container roundtrip (sources/warc.py): the documents table
+    is serialized into per-partition gzipped WARC/1.0 archives
+    (ISO 28500 framing, Content-Length-prefixed payloads) and parsed
+    back through the binaryFile → mapInPandas reader. The oracle
+    recomputes every output column straight from the parquet — a green
+    row proves the writer's framing and the reader's header walk +
+    payload extraction are collectively LOSSLESS (length, bytes-md5 and
+    header fields all survive)."""
+    import tempfile
+
+    from tinyetl_spark.sources import warc as W
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    src = d.select(
+        doc.alias("doc_id"),
+        F.concat(F.lit("https://ex"), (doc % 5).cast("string"),
+                 F.lit(".org/d/"), doc.cast("string")).alias("url"),
+        F.col("text").alias("payload"),
+        F.concat(F.lit("2026-02-0"), (doc % 9 + 1).cast("string"),
+                 F.lit("T00:00:00Z")).alias("warc_date"))
+    out = tempfile.mkdtemp(prefix="tinyetl_warc_")
+    W.write_warc(src.repartition(8), out, compress=True)
+    back = W.read_warc(spark, out, warc_types=("response",))
+    return (back.select(
+                "url", "warc_type", "warc_date", "content_length",
+                F.md5(F.col("payload")).alias("payload_md5"))
+               .orderBy("url"))
+
+
 def text_script_profile(spark, sf_dir):
     """Unicode script detection (operators/text.py script_profile):
     per-script character fractions + dominant script over a corpus
@@ -1634,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode_nfc": text_unicode_nfc,
         "text_domain_blocklist": text_domain_blocklist,
         "text_script_profile": text_script_profile,
+        "warc_roundtrip": warc_roundtrip,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2007,6 +2038,17 @@ def oracle_sql() -> dict[str, str]:
                 or host = 'spamdomain.io' or host like '%.spamdomain.io')
                 as kept
             from u order by doc_id
+        """,
+        "warc_roundtrip": r"""
+            select
+              'https://ex' || (doc_id % 5)::varchar || '.org/d/'
+                || doc_id::varchar as url,
+              'response' as warc_type,
+              '2026-02-0' || (doc_id % 9 + 1)::varchar || 'T00:00:00Z'
+                as warc_date,
+              strlen(text)::bigint as content_length,
+              md5(text) as payload_md5
+            from documents order by url
         """,
         "text_script_profile": r"""
             with aug as (
