@@ -984,6 +984,31 @@ def text_domain_blocklist(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def text_entropy(spark, sf_dir):
+    """Shannon-entropy quality signals (operators/text.py
+    entropy_metrics): char/word entropy in bits over an augmented corpus
+    where one doc class gets low word entropy (repeated filler word),
+    one gets low char entropy (a single-letter run) and the rest stay
+    natural — so the metric separates the classes the way a quality
+    filter would use it. Pure Catalyst HOFs, zero shuffle; the oracle
+    replays the identical arithmetic with DuckDB list functions (both
+    sides sort the distinct list so double-summation order matches)."""
+    from tinyetl_spark.operators import text as T
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    aug = (F.when(doc % 3 == 0,
+                  F.concat(F.substring("text", 1, 60),
+                           F.repeat(F.lit(" spam"), 10)))
+            .when(doc % 3 == 1,
+                  F.concat(F.substring("text", 1, 20),
+                           F.repeat(F.lit("a"), 30)))
+            .otherwise(F.substring("text", 1, 80)))
+    out = T.entropy_metrics(d.select("doc_id", aug.alias("text")))
+    return (out.select("doc_id", "char_entropy", "word_entropy",
+                       "distinct_chars", "distinct_words")
+               .orderBy("doc_id"))
+
+
 def warc_roundtrip(spark, sf_dir):
     """WARC container roundtrip (sources/warc.py): the documents table
     is serialized into per-partition gzipped WARC/1.0 archives
@@ -1665,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_blocklist": text_domain_blocklist,
         "text_script_profile": text_script_profile,
         "warc_roundtrip": warc_roundtrip,
+        "text_entropy": text_entropy,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2038,6 +2064,45 @@ def oracle_sql() -> dict[str, str]:
                 or host = 'spamdomain.io' or host like '%.spamdomain.io')
                 as kept
             from u order by doc_id
+        """,
+        "text_entropy": r"""
+            with aug as (
+              select doc_id,
+                case when doc_id % 3 = 0
+                       then substr(text, 1, 60) || repeat(' spam', 10)
+                     when doc_id % 3 = 1
+                       then substr(text, 1, 20) || repeat('a', 30)
+                     else substr(text, 1, 80) end as text
+              from documents),
+            n as (
+              select doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+              from aug),
+            arr as (
+              select doc_id,
+                regexp_extract_all(nt, '.') as chars,
+                list_filter(string_split(nt, ' '), w -> w != '') as words
+              from n)
+            select doc_id,
+              case when len(chars) > 0 then
+                round(-list_sum(list_transform(
+                  list_sort(list_distinct(chars)),
+                  c -> (len(list_filter(chars, x -> x = c))::double
+                          / len(chars))
+                       * log2(len(list_filter(chars, x -> x = c))::double
+                          / len(chars)))), 6)
+                else 0.0 end as char_entropy,
+              case when len(words) > 0 then
+                round(-list_sum(list_transform(
+                  list_sort(list_distinct(words)),
+                  c -> (len(list_filter(words, x -> x = c))::double
+                          / len(words))
+                       * log2(len(list_filter(words, x -> x = c))::double
+                          / len(words)))), 6)
+                else 0.0 end as word_entropy,
+              len(list_distinct(chars))::bigint as distinct_chars,
+              len(list_distinct(words))::bigint as distinct_words
+            from arr order by doc_id
         """,
         "warc_roundtrip": r"""
             select

@@ -651,3 +651,25 @@ def test_script_profile_detects_and_breaks_ties(spark):
     # latin-dominant mixed doc still reports the cyrillic fraction
     assert out[8]["dominant_script"] == "latin"
     assert 0 < out[8]["cyrillic_frac"] < 0.5
+
+
+def test_entropy_metrics_separate_quality_classes(spark):
+    rows = [
+        (0, "aaaaaaaaaaaaaaaa"),                       # 1 symbol: H=0
+        (1, "abababababababab"),                        # 2 symbols even: H=1
+        (2, "spam spam spam spam spam"),                # 1 word: word H=0
+        (3, "the quick brown fox jumps over lazy dog"),  # all distinct words
+        (4, ""),                                        # empty: zeros
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           T.entropy_metrics(df).orderBy("doc_id").collect()}
+    assert out[0]["char_entropy"] == 0.0
+    assert out[1]["char_entropy"] == 1.0
+    assert out[2]["word_entropy"] == 0.0
+    # 8 distinct words, uniform: H = log2(8) = 3 bits
+    assert out[3]["word_entropy"] == 3.0
+    assert out[3]["distinct_words"] == 8
+    assert out[4]["char_entropy"] == 0.0 and out[4]["distinct_chars"] == 0
+    # natural text has higher word entropy than the template page
+    assert out[3]["word_entropy"] > out[2]["word_entropy"]

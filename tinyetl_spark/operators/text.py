@@ -208,3 +208,43 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         dom = F.when(cond, F.lit(s)).otherwise(dom)
     out = out.withColumn("dominant_script", dom)
     return out.drop(*[f"_n_{s}" for s in SCRIPT_ORDER])
+
+
+# ---------------------------------------------------------------------------
+# Shannon-entropy quality signals — the classic gibberish / boilerplate
+# detector (low char entropy = repeated filler, low word entropy =
+# template pages). Pure Catalyst higher-order functions over one row at
+# a time: O(alphabet x length) per document, zero shuffle — a scan-speed
+# pass at any corpus size. Expressible 1:1 in DuckDB list functions, so
+# the oracle verifies values to 6dp (both sides sort the distinct list
+# first: double summation order must be identical for bit-stable sums).
+
+def _entropy(items: Column) -> Column:
+    """Shannon entropy (bits) of the multiset in ``items``."""
+    n = F.size(items)
+    dd = F.array_sort(F.array_distinct(items))
+    terms = F.transform(
+        dd,
+        lambda c: (F.size(F.filter(items, lambda x: x == c))
+                   .cast("double") / n)
+        * F.log2(F.size(F.filter(items, lambda x: x == c))
+                 .cast("double") / n))
+    h = -F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return F.when(n > 0, F.round(h, 6)).otherwise(F.lit(0.0))
+
+
+def entropy_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``char_entropy`` / ``word_entropy`` (bits) and the distinct
+    counts they normalize against. Characters come from the normalized
+    text via the RE2-and-Java-compatible ``.`` extraction (whitespace is
+    already collapsed to single spaces, so no newlines)."""
+    nt = norm_text(F.col(text_col))
+    chars = F.regexp_extract_all(nt, F.lit("."), F.lit(0))
+    words = F.filter(F.split(nt, " "), lambda w: w != "")
+    return (df
+            .withColumn("char_entropy", _entropy(chars))
+            .withColumn("word_entropy", _entropy(words))
+            .withColumn("distinct_chars",
+                        F.size(F.array_distinct(chars)).cast("long"))
+            .withColumn("distinct_words",
+                        F.size(F.array_distinct(words)).cast("long")))
