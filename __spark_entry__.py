@@ -984,6 +984,32 @@ def text_domain_blocklist(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def dedup_lines(spark, sf_dir):
+    """Global line-level dedup (operators/dedup.py dedup_lines_global):
+    the CCNet/C4 boilerplate pass. Every augmented doc opens with the
+    same nav-bar line and one doc class shares a newsletter line, so
+    only the globally-first occurrence (by doc_id, position) survives;
+    substring chunks that happen to repeat across the word-soup corpus
+    dedup too — the oracle replays the identical first-occurrence rule
+    with a window over the raw line text. Scale shape: min-aggregation
+    with map-side combine on md5(line), never a window over the raw
+    exploded corpus."""
+    from tinyetl_spark.operators import dedup as D
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    nl = F.lit("\n")
+    aug = F.concat(
+        F.lit("HOME | ABOUT | CONTACT"), nl,
+        F.substring("text", 1, 40), nl,
+        F.when(doc % 4 == 0, F.lit("subscribe to our newsletter"))
+         .otherwise(F.substring("text", 41, 40)), nl,
+        F.substring("text", 81, 40))
+    out = D.dedup_lines_global(d.select("doc_id", aug.alias("text")))
+    return (out.select("doc_id", F.col("text").alias("text_dedup"),
+                       "n_lines_in", "n_lines_kept")
+               .orderBy("doc_id"))
+
+
 def text_entropy(spark, sf_dir):
     """Shannon-entropy quality signals (operators/text.py
     entropy_metrics): char/word entropy in bits over an augmented corpus
@@ -1691,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": text_script_profile,
         "warc_roundtrip": warc_roundtrip,
         "text_entropy": text_entropy,
+        "dedup_lines": dedup_lines,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2064,6 +2091,42 @@ def oracle_sql() -> dict[str, str]:
                 or host = 'spamdomain.io' or host like '%.spamdomain.io')
                 as kept
             from u order by doc_id
+        """,
+        "dedup_lines": r"""
+            with aug as (
+              select doc_id,
+                'HOME | ABOUT | CONTACT' || chr(10)
+                || substr(text, 1, 40) || chr(10)
+                || case when doc_id % 4 = 0
+                        then 'subscribe to our newsletter'
+                        else substr(text, 41, 40) end || chr(10)
+                || substr(text, 81, 40) as text
+              from documents),
+            s as (select doc_id, string_split(text, chr(10)) as l from aug),
+            ln0 as (
+              select doc_id,
+                unnest(l) as line,
+                unnest(range(1, len(l) + 1)) as pos
+              from s),
+            lines as (select * from ln0 where line != ''),
+            ranked as (
+              select *, row_number() over
+                (partition by line order by doc_id, pos) as rn
+              from lines),
+            kept as (
+              select doc_id,
+                string_agg(line, chr(10) order by pos) as text_dedup,
+                count(*) as n_kept
+              from ranked where rn = 1 group by doc_id),
+            n_in as (
+              select doc_id, count(*)::bigint as n_lines_in
+              from lines group by doc_id)
+            select n_in.doc_id,
+                   coalesce(kept.text_dedup, '') as text_dedup,
+                   n_lines_in,
+                   coalesce(kept.n_kept, 0)::bigint as n_lines_kept
+            from n_in left join kept using (doc_id)
+            order by doc_id
         """,
         "text_entropy": r"""
             with aug as (

@@ -119,3 +119,26 @@ def test_nfc_merges_decomposed_duplicates(spark):
                              dedup="exact")
     assert no_nfc.df.count() == 2
     assert with_nfc.df.count() == 1
+
+
+def test_dedup_lines_stage_strips_boilerplate(spark):
+    """Docs 1 and 2 share a boilerplate line (doc 1 keeps it, being
+    globally first); doc 3 is ALL duplicated lines so the pass leaves it
+    empty and the stage drops it as pure boilerplate."""
+    body1 = GOOD + " take one of the story"
+    body2 = GOOD + " take two of the story"
+    rows = [
+        (1, "HOME | ABOUT\n" + body1),
+        (2, "HOME | ABOUT\n" + body2),
+        (3, body1),                      # every line already seen
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate_corpus(df, dedup_lines=True, dedup="exact",
+                        quality_params={"min_words": 5})
+    funnel = dict(res.funnel())
+    assert funnel["dedup_lines"] == 2        # doc 3 emptied -> dropped
+    assert funnel["dedup_exact"] == 2
+    texts = {r["doc_id"]: r["text"] for r in res.df.collect()}
+    assert texts[1] == "HOME | ABOUT\n" + body1   # first keeps everything
+    assert texts[2] == body2                      # boilerplate stripped
+    assert 3 not in texts

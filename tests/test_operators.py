@@ -673,3 +673,27 @@ def test_entropy_metrics_separate_quality_classes(spark):
     assert out[4]["char_entropy"] == 0.0 and out[4]["distinct_chars"] == 0
     # natural text has higher word entropy than the template page
     assert out[3]["word_entropy"] > out[2]["word_entropy"]
+
+
+def test_dedup_lines_global_keeps_first_occurrence(spark):
+    boiler = "home | about | contact"
+    rows = [
+        (1, f"{boiler}\nunique alpha line\nshared line"),
+        (2, f"{boiler}\nunique beta line\nshared line"),
+        (3, f"{boiler}\n\nunique gamma line"),   # empty line dropped
+        (4, boiler),                             # nothing survives
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.dedup_lines_global(df).orderBy("doc_id").collect()}
+    # doc 1 is globally first: keeps everything
+    assert out[1]["text"] == rows[0][1]
+    assert out[1]["n_lines_in"] == out[1]["n_lines_kept"] == 3
+    # doc 2 loses the boilerplate AND the shared line
+    assert out[2]["text"] == "unique beta line"
+    assert (out[2]["n_lines_in"], out[2]["n_lines_kept"]) == (3, 1)
+    # doc 3: empty line dropped from the count, boilerplate deduped
+    assert out[3]["text"] == "unique gamma line"
+    assert (out[3]["n_lines_in"], out[3]["n_lines_kept"]) == (2, 1)
+    # doc 4: fully boilerplate -> empty text, still one output row
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0

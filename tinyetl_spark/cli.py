@@ -251,6 +251,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--redact-pii", action="store_true")
     cu.add_argument("--dedup", choices=["exact", "cluster", "off"],
                     default="exact")
+    cu.add_argument("--dedup-lines", action="store_true",
+                    help="CCNet/C4 global line pass before doc dedup: "
+                         "every duplicated line corpus-wide keeps only "
+                         "its first occurrence")
     cu.add_argument("--decontaminate", default=None, metavar="BENCH_URI",
                     help="eval-set source; docs sharing any --ngram "
                          "word n-gram with it are dropped")
@@ -343,7 +347,8 @@ def main(argv: list[str] | None = None) -> int:
             corpus, text_col=args.text_col, id_col=args.id_col,
             blocklist=blocked, url_col=args.url_col, nfc=args.nfc,
             quality=not args.no_quality, quality_params=qp,
-            redact_pii=args.redact_pii, dedup=args.dedup, bench=bench,
+            redact_pii=args.redact_pii, dedup_lines=args.dedup_lines,
+            dedup=args.dedup, bench=bench,
             ngram=args.ngram, sample_rate=args.sample_rate,
             seed=args.seed)
         res.df.write.mode("overwrite").parquet(args.target)

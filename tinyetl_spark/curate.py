@@ -39,6 +39,7 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   nfc: bool = False,
                   quality: bool = True, quality_params: dict | None = None,
                   redact_pii: bool = False,
+                  dedup_lines: bool = False,
                   dedup: str = "exact",           # exact | cluster | off
                   bench: DataFrame | None = None, ngram: int = 13,
                   sample_rate: float | None = None,
@@ -72,6 +73,17 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
         cur = (PII.redact_frame(cur, text_col)
                   .select(*cols))   # counts dropped: columns stay stable
         res.stages.append(("pii_redact", cur))
+    if dedup_lines:
+        # CCNet/C4 line pass BEFORE doc-level dedup: stripping shared
+        # boilerplate lines first makes near-identical docs exactly
+        # identical, so the cheaper exact pass catches them. Docs left
+        # EMPTY by the pass were pure boilerplate — dropped here.
+        deduped = D.dedup_lines_global(cur, id_col, text_col)
+        cur = (cur.drop(text_col)
+                  .join(deduped.filter(F.col(text_col) != "")
+                               .select(id_col, text_col), id_col)
+                  .select(*cols))
+        res.stages.append(("dedup_lines", cur))
     if dedup == "exact":
         cur = D.exact_dedup(cur, id_col, text_col).select(*cols)
         res.stages.append(("dedup_exact", cur))

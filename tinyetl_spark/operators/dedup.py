@@ -361,3 +361,62 @@ def simhash_candidates_md5(df: DataFrame, id_col: str, text_col: str = "text",
                    & (F.col("a.doc") < F.col("b.doc")))
              .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
              .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Global line-level dedup — the CCNet / C4 pass: a boilerplate line
+# ("home | about | contact", cookie banners, share widgets) appears on
+# millions of pages; remove every occurrence except the globally first
+# (ordered by (doc, position)), then reassemble documents.
+#
+# Scale shape: ONE shuffle on md5(line) with a map-side-combining
+# min-aggregation (hot boilerplate lines collapse to one row per map
+# partition before the exchange — the skew is absorbed by the combiner,
+# not a join), the keep-join reuses the same hash partitioning, and the
+# reassembly groupBy(doc) is the second and final shuffle. Never a
+# window over the raw exploded lines: row_number would sort entire hot
+# buckets. AQE handles residual skew.
+
+def dedup_lines_global(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       sep: str = "\n") -> DataFrame:
+    """Remove duplicated lines corpus-wide, keeping the first occurrence
+    by (id, line position). Empty lines are dropped (they carry no
+    content and would otherwise all collapse into one).
+
+    Returns one row per input doc: ``text`` (deduped, lines re-joined
+    with ``sep``), ``n_lines_in``, ``n_lines_kept``.
+    """
+    doc = F.col(id_col)
+    lines = (df.select(doc.alias("_doc"),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                        .alias("_pos", "_line"))
+               .filter(F.col("_line") != ""))
+    lines = lines.withColumn("_h", F.md5(F.col("_line")))
+    first = (lines.groupBy("_h")
+                  .agg(F.min(F.struct("_doc", "_pos")).alias("_first")))
+    kept = (lines.join(first, "_h")
+                 .filter((F.col("_doc") == F.col("_first._doc"))
+                         & (F.col("_pos") == F.col("_first._pos"))))
+    n_in = (lines.groupBy("_doc")
+                 .agg(F.count("*").alias("n_lines_in")))
+    out = (kept.groupBy("_doc")
+               .agg(F.array_join(
+                        hof_transform_sorted("_pos", "_line"),
+                        sep).alias(text_col),
+                    F.count("*").alias("n_lines_kept")))
+    return (n_in.join(out, "_doc", "left")
+                .select(F.col("_doc").alias(id_col),
+                        F.coalesce(F.col(text_col), F.lit(""))
+                         .alias(text_col),
+                        "n_lines_in",
+                        F.coalesce("n_lines_kept", F.lit(0))
+                         .alias("n_lines_kept")))
+
+
+def hof_transform_sorted(pos_col: str, val_col: str):
+    """collect (pos, val) pairs, sort by pos, project val — the
+    deterministic reassembly aggregate used by dedup_lines_global."""
+    from pyspark.sql.functions import transform as _tf
+    return _tf(F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
+               lambda s: s[val_col])
