@@ -984,6 +984,33 @@ def text_domain_blocklist(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def graph_pagerank(spark, sf_dir):
+    """Distributed PageRank (operators/graph.py): 2 damped iterations
+    over a deterministic 3-regular-ish link graph on the documents
+    table (doc -> (doc*7+k) mod N for k=1..3, self-links dropped).
+    Every node has out-degree >= 2 so the dangling branch contributes
+    zero here (it is pytest-covered); per-iteration 9dp rounding pins
+    the float state so the DuckDB oracle can replay the identical
+    2-step unrolled arithmetic. The damping base is written as
+    (1.0 - 0.85) on BOTH sides — the two engines must round the same
+    IEEE expression, not a decimal literal."""
+    from tinyetl_spark.operators.graph import pagerank
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = d.count()
+    s = F.col("doc_id")
+    edges = (d.select(s.alias("sid"),
+                      F.explode(F.array(*[(s * 7 + k) % n_docs
+                                          for k in (1, 2, 3)])).alias("tid"))
+              .filter(F.col("tid") != F.col("sid"))
+              .select(F.concat(F.lit("https://g.org/"),
+                               F.col("sid").cast("string")).alias("src"),
+                      F.concat(F.lit("https://g.org/"),
+                               F.col("tid").cast("string")).alias("dst")))
+    pr = pagerank(edges, iters=2)
+    return (pr.select("url", F.round("rank", 6).alias("rank"))
+              .orderBy("url"))
+
+
 def dedup_lines(spark, sf_dir):
     """Global line-level dedup (operators/dedup.py dedup_lines_global):
     the CCNet/C4 boilerplate pass. Every augmented doc opens with the
@@ -1718,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "text_entropy": text_entropy,
         "dedup_lines": dedup_lines,
+        "graph_pagerank": graph_pagerank,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2091,6 +2119,43 @@ def oracle_sql() -> dict[str, str]:
                 or host = 'spamdomain.io' or host like '%.spamdomain.io')
                 as kept
             from u order by doc_id
+        """,
+        "graph_pagerank": r"""
+            with nn as (select count(*)::bigint as n from documents),
+            e0 as (
+              select doc_id as s, (doc_id * 7 + 1) % (select n from nn) as t
+                from documents
+              union all
+              select doc_id, (doc_id * 7 + 2) % (select n from nn)
+                from documents
+              union all
+              select doc_id, (doc_id * 7 + 3) % (select n from nn)
+                from documents),
+            e as (select s, t from e0 where s != t),
+            nodes as (select doc_id as u from documents),
+            deg as (select s, count(*)::double as deg from e group by s),
+            r0 as (select u, 1.0 / (select n from nn) as r from nodes),
+            m1 as (
+              select e.t as u, sum(r0.r / deg.deg) as m
+              from e join r0 on r0.u = e.s join deg on deg.s = e.s
+              group by e.t),
+            r1 as (
+              select nodes.u,
+                round((1.0 - 0.85) / (select n from nn)
+                      + 0.85 * coalesce(m1.m, 0.0), 9) as r
+              from nodes left join m1 on m1.u = nodes.u),
+            m2 as (
+              select e.t as u, sum(r1.r / deg.deg) as m
+              from e join r1 on r1.u = e.s join deg on deg.s = e.s
+              group by e.t),
+            r2 as (
+              select nodes.u,
+                round((1.0 - 0.85) / (select n from nn)
+                      + 0.85 * coalesce(m2.m, 0.0), 9) as r
+              from nodes left join m2 on m2.u = nodes.u)
+            select 'https://g.org/' || u::varchar as url,
+                   round(r, 6) as rank
+            from r2 order by url
         """,
         "dedup_lines": r"""
             with aug as (

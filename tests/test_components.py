@@ -119,3 +119,51 @@ def test_nonconvergence_raises(spark):
         connected_components(_edges(spark, [(i, i + 1) for i in range(1, 40)]),
                              max_iter=1)
     D.release_caches()
+
+
+# ---------------------------------------------------------------------------
+# web-graph operators (operators/graph.py)
+
+def _py_pagerank(edges, iters=10, d=0.85):
+    """Independent driver-side replica of the documented rule."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        dangling = sum(r[u] for u in nodes if u not in out)
+        mass = {u: 0.0 for u in nodes}
+        for s, t in edges:
+            mass[t] += r[s] / out[s]
+        r = {u: round((1 - d) / n + d * dangling / n + d * mass[u], 9)
+             for u in nodes}
+    return r
+
+
+def test_pagerank_matches_independent_replica(spark):
+    from tinyetl_spark.operators.graph import pagerank
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d")]
+    # d is dangling (no out-links): its mass must be redistributed
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["url"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges, iters=10)
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-9, (u, got[u], want[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-6   # mass conserved
+    assert got["c"] > got["d"]                   # hub outranks leaf
+
+
+def test_extract_links_canonicalizes_and_drops_self(spark):
+    from tinyetl_spark.operators.graph import extract_links
+    rows = [("https://a.org/", """
+        <a href="https://b.org/x?utm_source=feed&q=1">x</a>
+        <a href='https://a.org/'>self</a>
+        <a href="https://c.org:443/p#frag">c</a>""")]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = sorted((r["src"], r["dst"])
+                 for r in extract_links(df).collect())
+    assert got == [("https://a.org/", "https://b.org/x?q=1"),
+                   ("https://a.org/", "https://c.org/p")]
