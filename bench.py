@@ -963,7 +963,14 @@ def write_baseline_md(result: dict, history: list[dict] | None = None) -> None:
         f"= **{sc.get('efficiency_best')}**. Protocol per driver "
         "instruction: same job, same input, two parallelism levels in "
         "separate JVMs, each taskset-pinned to its core budget, EQUAL "
-        "interleaved round counts per level.",
+        "interleaved round counts per level."
+        + (" An efficiency above 1.0 is measurement noise, not magic: it "
+           "means the LOW level's gated rounds still carried residual "
+           "host slowdown that the high level's rounds escaped — read it "
+           "as parity (≈1.0); the best-of estimator below is the "
+           "conservative companion."
+           if isinstance(sc.get("efficiency"), (int, float))
+           and sc["efficiency"] and sc["efficiency"] > 1.0 else ""),
         "",
         "**Clean-phase gate**: before every measured round a fixed-work "
         "memory-streaming probe (identical work every call, taskset-pinned "
