@@ -984,6 +984,49 @@ def text_domain_blocklist(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Corpus boilerplate mining (operators/quality.py
+    boilerplate_ngrams): top word-trigrams by DOCUMENT frequency over a
+    corpus where two boilerplate phrases are planted in disjoint doc
+    classes (one repeated twice per doc — must still count once). The
+    word-soup base text supplies organic repeat trigrams below the
+    planted ones. Per-doc distinct before explode (one shuffle row per
+    (doc, gram)); top-k is a TakeOrdered with a total order (df desc,
+    gram asc)."""
+    from tinyetl_spark.operators.quality import boilerplate_ngrams
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.when(doc % 3 == 0,
+               F.lit(" all rights reserved all rights reserved"))
+         .otherwise(F.lit("")),
+        F.when(doc % 4 == 0, F.lit(" click here to subscribe"))
+         .otherwise(F.lit("")))
+    return boilerplate_ngrams(d.select(aug.alias("text")),
+                              n=3, min_df=5, top_k=20)
+
+
+def host_quality_rollup(spark, sf_dir):
+    """Host-level rollup (operators/quality.py host_rollup): docs are
+    spread over 7 synthetic hosts; every 5th doc is an identical
+    mirror page so intra-host dup_frac is non-trivial. One map-side-
+    combined groupBy(host); the oracle rebuilds fingerprints, token
+    counts and the quality score from the text_profile formulas and
+    aggregates the same way."""
+    from tinyetl_spark.operators.quality import host_rollup
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (doc % 7).cast("string"),
+                   F.lit(".example/p/"), doc.cast("string"))
+    text = (F.when(doc % 5 == 0,
+                   F.lit("mirror mirror on the wall page"))
+             .otherwise(F.substring("text", 1,
+                                    60 + (doc % 7).cast("int"))))
+    out = host_rollup(d.select(url.alias("url"), text.alias("text")))
+    return out.orderBy("host")
+
+
 def graph_pagerank(spark, sf_dir):
     """Distributed PageRank (operators/graph.py): 2 damped iterations
     over a deterministic 3-regular-ish link graph on the documents
@@ -1746,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": text_entropy,
         "dedup_lines": dedup_lines,
         "graph_pagerank": graph_pagerank,
+        "host_quality_rollup": host_quality_rollup,
+        "text_boilerplate_ngrams": text_boilerplate_ngrams,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2119,6 +2164,74 @@ def oracle_sql() -> dict[str, str]:
                 or host = 'spamdomain.io' or host like '%.spamdomain.io')
                 as kept
             from u order by doc_id
+        """,
+        "text_boilerplate_ngrams": r"""
+            with aug as (
+              select
+                substr(text, 1, 40)
+                || case when doc_id % 3 = 0
+                   then ' all rights reserved all rights reserved'
+                   else '' end
+                || case when doc_id % 4 = 0
+                   then ' click here to subscribe' else '' end as text
+              from documents),
+            n as (
+              select trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       as nt
+              from aug),
+            w as (
+              select list_filter(string_split(nt, ' '), x -> x != '')
+                       as words
+              from n),
+            g as (
+              select list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3 + 2, 1)),
+                       i -> array_to_string(words[i:i+2], ' ')))
+                       as grams
+              from w),
+            ex as (select unnest(grams) as gram from g)
+            select gram, count(*)::bigint as df
+            from ex group by gram
+            having count(*) >= 5
+            order by df desc, gram asc limit 20
+        """,
+        "host_quality_rollup": r"""
+            with src as (
+              select
+                'h' || (doc_id % 7)::varchar || '.example' as host,
+                case when doc_id % 5 = 0
+                     then 'mirror mirror on the wall page'
+                     else substr(text, 1, 60 + (doc_id % 7)::int) end
+                  as text
+              from documents),
+            n as (
+              select host, text,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+              from src),
+            per_doc as (
+              select host,
+                md5(nt) as fp,
+                case when nt = '' then 0
+                     else len(regexp_split_to_array(nt, ' ')) end::bigint
+                  as tok,
+                round(least((case when nt = '' then 0
+                        else len(regexp_split_to_array(nt, ' ')) end)
+                          / 100.0, 1.0)
+                  * (1.0 - len(regexp_extract_all(nt,
+                        '\b(the|a|and|of|to|in)\b', 1))::double
+                     / greatest(case when nt = '' then 0
+                        else len(regexp_split_to_array(nt, ' ')) end, 1))
+                  * (length(regexp_replace(nt, '[^a-z]', '', 'g'))::double
+                     / greatest(length(nt), 1)), 6) as q
+              from n)
+            select host,
+              count(*)::bigint as n_docs,
+              count(distinct fp)::bigint as n_unique,
+              round(1.0 - count(distinct fp) / count(*)::double, 6)
+                as dup_frac,
+              round(avg(tok::double), 6) as avg_tokens,
+              round(avg(q), 6) as avg_quality
+            from per_doc group by host order by host
         """,
         "graph_pagerank": r"""
             with nn as (select count(*)::bigint as n from documents),

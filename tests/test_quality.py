@@ -176,3 +176,44 @@ def test_repetition_metrics_hand_computed(spark):
     assert got[4]["dup_ngram_char_frac"] == 0.0
     assert got[5]["top_ngram_char_frac"] == 0.0
     assert got[5]["dup_ngram_char_frac"] == 0.0
+
+
+def test_host_rollup_flags_mirror_host(spark):
+    from tinyetl_spark.operators.quality import host_rollup
+    good = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank in the late afternoon light")
+    rows = (
+        [(f"https://mirror.example/p/{i}", "same mirror page body")
+         for i in range(4)]
+        + [(f"https://fresh.example/a/{i}", good + f" take {i}")
+           for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = {r["host"]: r for r in host_rollup(df).collect()}
+    m, f = out["mirror.example"], out["fresh.example"]
+    assert (m["n_docs"], m["n_unique"]) == (4, 1)
+    assert m["dup_frac"] == 0.75
+    assert (f["n_docs"], f["n_unique"]) == (4, 4)
+    assert f["dup_frac"] == 0.0
+    assert f["avg_quality"] > m["avg_quality"]   # real text scores higher
+    assert f["avg_tokens"] > m["avg_tokens"]
+
+
+def test_boilerplate_ngrams_ranks_by_document_frequency(spark):
+    from tinyetl_spark.operators.quality import boilerplate_ngrams
+    rows = [
+        (1, "all rights reserved all rights reserved unique alpha"),
+        (2, "all rights reserved unique beta content here"),
+        (3, "all rights reserved unique gamma content here"),
+        (4, "totally different text with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_ngrams(df, n=3, min_df=2, top_k=5).collect()
+    ranked = [(r["gram"], r["df"]) for r in out]
+    # doc 1 repeats the phrase but counts ONCE (document frequency)
+    assert ranked[0] == ("all rights reserved", 3)
+    assert ("content here", 2) not in ranked          # bigram, not trigram
+    assert all(r[1] >= 2 for r in ranked)
+    # deterministic tie-break: df desc then gram asc
+    dfs = [r[1] for r in ranked]
+    assert dfs == sorted(dfs, reverse=True)

@@ -235,3 +235,74 @@ def gopher_keep(df: DataFrame, text_col: str = "text",
         out = out.withColumn(name, cond)
         keep = keep & cond
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Host-level rollup — the crawl-curation signal ABOVE the document:
+# site-level spam decisions (drop the whole host) are cheaper and more
+# robust than per-doc ones when a domain is mostly boilerplate mirrors.
+# ONE map-side-combined groupBy(host): all aggregates are algebraic
+# (count / sum / approx-free distinct via exact count of md5s), so a
+# 100-TB corpus reduces to one row per host (~10^7 rows) in a single
+# shuffle. A mega-host (wikipedia-scale) is still just one reduce key
+# whose partial aggregates combined upstream — no skew pathology.
+
+def host_rollup(df: DataFrame, url_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Per-host curation stats: ``n_docs``, ``n_unique`` (distinct text
+    fingerprints), ``dup_frac`` (6dp), ``avg_tokens`` (6dp),
+    ``avg_quality`` (6dp mean of the document quality score).
+
+    Intra-host duplication (mirrored/templated pages under one domain)
+    is the strongest host-spam signal; pair with a threshold filter to
+    drop hosts wholesale before any per-doc work.
+    """
+    from .text import fingerprint, quality_score, token_count
+    from tinyetl_spark.operators.normalize import url_host
+    t = F.col(text_col)
+    per_doc = df.select(
+        url_host(F.col(url_col)).alias("host"),
+        fingerprint(t).alias("_fp"),
+        token_count(t).alias("_tok"),
+        quality_score(t).alias("_q"))
+    return (per_doc.groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("_fp").alias("n_unique"),
+                 F.round(F.lit(1.0) - F.countDistinct("_fp")
+                         / F.count("*").cast("double"), 6)
+                  .alias("dup_frac"),
+                 F.round(F.avg(F.col("_tok").cast("double")), 6)
+                  .alias("avg_tokens"),
+                 F.round(F.avg("_q"), 6).alias("avg_quality")))
+
+
+def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
+                       n: int = 3, min_df: int = 2,
+                       top_k: int = 100) -> DataFrame:
+    """Corpus-level boilerplate mining: word n-grams ranked by DOCUMENT
+    frequency (how many distinct docs contain the gram at least once).
+    The grams that top this list ("all rights reserved", "click here
+    to") are what line/gram scrubbers get configured with.
+
+    Scale shape: per-doc grams are DISTINCT-ed inside the projection
+    (array_distinct — a gram repeated within one doc counts once)
+    BEFORE the explode, so the shuffle carries at most one row per
+    (doc, gram); the groupBy(gram) count map-side-combines, and top-k
+    is a TakeOrdered, never a global sort. Ties rank deterministically
+    (df desc, gram asc).
+    """
+    nt = norm_text(F.col(text_col))
+    words = F.filter(F.split(nt, " "), lambda w: w != "")
+    grams = F.array_distinct(F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i <= F.size(words) - n,
+                F.array_join(F.slice(words, i + 1, n), " "))),
+        lambda g: g.isNotNull()))
+    return (df.select(F.explode(grams).alias("gram"))
+              .groupBy("gram")
+              .agg(F.count("*").alias("df"))
+              .filter(F.col("df") >= min_df)
+              .orderBy(F.desc("df"), F.asc("gram"))
+              .limit(top_k))
