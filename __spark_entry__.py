@@ -1183,6 +1183,23 @@ def dedup_minhash_jaccard(spark, sf_dir):
                                  threshold=0.5, k=3, num_hashes=12, bands=4)
 
 
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup: an incoming batch (odd doc_ids plus exact
+    copies of every doc_id % 14 == 0 corpus doc, re-keyed +1e6) probed
+    against the stored corpus (even doc_ids) via a corpus-side LSH index
+    (operators/dedup.py build_lsh_index) — the per-micro-batch dedup
+    shape where the corpus is never re-shingled. The re-keyed copies
+    guarantee genuine cross-side hits at jaccard 1.0."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter(F.col("doc_id") % 14 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return D.dedup_minhash_incremental(corpus, incoming, "doc_id", "text",
+                                       threshold=0.5, k=3, num_hashes=12,
+                                       bands=4)
+
+
 def ann_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter("vec_id < 5")
@@ -1793,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_ngrams": text_boilerplate_ngrams,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_jaccard": dedup_minhash_jaccard,
+        "dedup_minhash_incremental": dedup_minhash_incremental,
         "ann_cosine_topk": ann_cosine_topk,
         "simhash_near_dups": simhash_near_dups,
         "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -2513,6 +2531,55 @@ def oracle_sql() -> dict[str, str]:
             where len(list_intersect(sh_a, sh_b))::double
                   / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0) >= 0.5
             order by doc_a, doc_b
+        """,
+        "dedup_minhash_incremental": r"""
+            with corpus as (
+              select doc_id, text from documents where doc_id % 2 = 0),
+            incoming as (
+              select doc_id, text from documents where doc_id % 2 = 1
+              union all
+              select doc_id + 1000000, text from documents where doc_id % 14 = 0),
+            both_sides as (
+              select doc_id, text, 'c' as side from corpus
+              union all
+              select doc_id, text, 'n' as side from incoming),
+            n as (select doc_id, side,
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+                  from both_sides),
+            w as (select doc_id, side, regexp_split_to_array(nt, ' ') as ws from n),
+            sh as (select doc_id, side,
+                     case when len(ws) >= 3
+                          then list_distinct([array_to_string(ws[i:i+2], ' ')
+                                              for i in generate_series(1, len(ws)-2)])
+                          else [] end as sh
+                   from w),
+            -- identical MinHash parity as dedup_minhash_jaccard: one md5
+            -- per shingle, 12 universal-hash slots (a_i*h+b_i) mod P
+            sig as (select doc_id, side, sh,
+                     [coalesce(list_min(
+                        [((2654435761*(i+1)) % 2147483647
+                          * (('0x' || substr(md5(s),1,8))::bigint % 2147483647)
+                          + (40503*(i+1)) % 2147483647) % 2147483647
+                         for s in sh]), 2147483647)::varchar
+                      for i in generate_series(0, 11)] as sig
+                    from sh),
+            bands as (
+              select doc_id, side, sh, b.band,
+                     array_to_string(sig[b.band*3+1:b.band*3+3], '|') as bucket
+              from sig, (select unnest([0,1,2,3]) as band) b),
+            pairs as (
+              select distinct nn.doc_id as doc_new, cc.doc_id as dup_of,
+                              nn.sh as sh_n, cc.sh as sh_c
+              from bands nn join bands cc
+                on nn.band = cc.band and nn.bucket = cc.bucket
+               and nn.side = 'n' and cc.side = 'c')
+            select doc_new, dup_of,
+                   round(len(list_intersect(sh_n, sh_c))::double
+                         / nullif(len(list_distinct(list_concat(sh_n, sh_c))), 0), 6) as jaccard
+            from pairs
+            where len(list_intersect(sh_n, sh_c))::double
+                  / nullif(len(list_distinct(list_concat(sh_n, sh_c))), 0) >= 0.5
+            order by doc_new, dup_of
         """,
         "ann_cosine_topk": """
             with q as (select vec_id as query_id, embedding as qvec

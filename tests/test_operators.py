@@ -47,6 +47,43 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
         assert 0.3 < jac[(0, 1)] < 1.0
 
 
+def test_minhash_incremental_matches_cross_side_pairs(spark, docs):
+    corpus = docs.filter("doc_id % 2 = 0")       # 0, 2, 4
+    incoming = docs.filter("doc_id % 2 = 1")     # 1, 3  (3 == exact dup of 0)
+    inc = D.dedup_minhash_incremental(corpus, incoming, "doc_id",
+                                      threshold=0.0, num_hashes=12, bands=6)
+    got = {(r["doc_new"], r["dup_of"]): r["jaccard"] for r in inc.collect()}
+    assert got[(3, 0)] == 1.0                    # exact dup across sides
+    # every incremental pair must be a cross-side pair of the full pass
+    full = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])):
+            r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.0,
+                                           num_hashes=12, bands=6).collect()}
+    for (n, c), j in got.items():
+        assert full[(min(n, c), max(n, c))] == j
+    # no same-side pairs can appear
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c in got)
+
+
+def test_minhash_incremental_with_prebuilt_index(spark, docs):
+    corpus = docs.filter("doc_id % 2 = 0")
+    incoming = docs.filter("doc_id % 2 = 1")
+    idx = D.build_lsh_index(corpus, "doc_id", num_hashes=12, bands=6)
+    via_index = D.dedup_minhash_incremental(
+        corpus, incoming, "doc_id", threshold=0.0, num_hashes=12, bands=6,
+        corpus_index=idx).collect()
+    direct = D.dedup_minhash_incremental(
+        corpus, incoming, "doc_id", threshold=0.0, num_hashes=12,
+        bands=6).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, direct))
+    # threshold filters: raising it can only shrink the result
+    strict = D.dedup_minhash_incremental(
+        corpus, incoming, "doc_id", threshold=0.9, num_hashes=12, bands=6,
+        corpus_index=idx).collect()
+    assert {tuple(r) for r in strict} <= {tuple(r) for r in direct}
+    assert D.release_caches() >= 0
+
+
 def test_simhash_properties(spark, docs):
     sh = {r["doc_id"]: r["sh"] for r in
           docs.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
