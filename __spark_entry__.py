@@ -21,6 +21,7 @@ from tinyetl_spark.lake import LakeTable, merge_apply
 from tinyetl_spark.operators import decontam as DCON
 from tinyetl_spark.operators import dedup as D
 from tinyetl_spark.operators import quality as QF
+from tinyetl_spark.operators import ranking as RK
 from tinyetl_spark.operators import sampling as SA
 from tinyetl_spark.operators import similarity as S
 from tinyetl_spark.operators import text as T
@@ -1135,6 +1136,19 @@ def warc_roundtrip(spark, sf_dir):
                .orderBy("url"))
 
 
+def text_bm25_topk(spark, sf_dir):
+    """BM25 relevance ranking (operators/ranking.py) of the documents
+    corpus against a fixed 3-term query mix — 'dup' rare (high IDF),
+    'merge'/'query' common — returning the top-20 docs. Per-doc term
+    frequencies are codegen split+filter expressions (no explode, no
+    shuffle); corpus stats (N, avgdl, per-term df) reduce in ONE pass
+    to a single broadcast row; top-k plans as TakeOrderedAndProject.
+    The oracle recomputes the identical fixed-order float expression in
+    DuckDB (round 6dp at the boundary)."""
+    d = _t(spark, sf_dir, "documents")
+    return RK.bm25(d, ["dup", "merge", "query"], top_k=20)
+
+
 def text_script_profile(spark, sf_dir):
     """Unicode script detection (operators/text.py script_profile):
     per-script character fractions + dominant script over a corpus
@@ -1802,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode_nfc": text_unicode_nfc,
         "text_domain_blocklist": text_domain_blocklist,
         "text_script_profile": text_script_profile,
+        "text_bm25_topk": text_bm25_topk,
         "warc_roundtrip": warc_roundtrip,
         "text_entropy": text_entropy,
         "dedup_lines": dedup_lines,
@@ -2014,6 +2029,38 @@ def oracle_sql() -> dict[str, str]:
                     * (alpha::double / total), 6) as quality,
               md5(nt) as fp
             from tok
+        """,
+        "text_bm25_topk": r"""
+            with n as (
+              select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+              from documents),
+            tf as (
+              select doc_id,
+                case when nt = '' then 0
+                     else len(regexp_split_to_array(nt, ' ')) end::bigint as dl,
+                len(list_filter(string_split(nt, ' '), x -> x = 'dup'))::bigint as tf_dup,
+                len(list_filter(string_split(nt, ' '), x -> x = 'merge'))::bigint as tf_merge,
+                len(list_filter(string_split(nt, ' '), x -> x = 'query'))::bigint as tf_query
+              from n),
+            st as (
+              select count(*)::double as n_docs, avg(dl) as avgdl,
+                sum(case when tf_dup > 0 then 1 else 0 end)::double as df_dup,
+                sum(case when tf_merge > 0 then 1 else 0 end)::double as df_merge,
+                sum(case when tf_query > 0 then 1 else 0 end)::double as df_query
+              from tf)
+            select doc_id, tf.dl as dl, tf_dup, tf_merge, tf_query,
+              round(
+                0.0
+                + ln(1.0 + (n_docs - df_dup + 0.5) / (df_dup + 0.5))
+                  * tf_dup * 2.2 / (tf_dup + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl))
+                + ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5))
+                  * tf_merge * 2.2 / (tf_merge + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl))
+                + ln(1.0 + (n_docs - df_query + 0.5) / (df_query + 0.5))
+                  * tf_query * 2.2 / (tf_query + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl)),
+                6) as bm25
+            from tf, st
+            order by bm25 desc, doc_id
+            limit 20
         """,
         "text_gopher_quality": r"""
             with raw as (

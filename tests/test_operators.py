@@ -734,3 +734,46 @@ def test_dedup_lines_global_keeps_first_occurrence(spark):
     assert (out[3]["n_lines_in"], out[3]["n_lines_kept"]) == (2, 1)
     # doc 4: fully boilerplate -> empty text, still one output row
     assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+
+
+def test_bm25_matches_hand_computation_and_plan_shape(spark):
+    import math
+
+    from tinyetl_spark.operators import ranking as RK
+
+    rows = [
+        (0, "spark merge merge merge lake"),        # tf(merge)=3, dl=5
+        (1, "merge once in a longer document with many other words"),
+        (2, "no relevant terms at all here"),
+        (3, "dup dup"),                              # rare term, short doc
+        (4, ""),                                     # empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           RK.bm25(df, ["dup", "merge"]).collect()}
+
+    # term frequencies and doc lengths
+    assert (out[0]["tf_merge"], out[0]["dl"]) == (3, 5)
+    assert (out[3]["tf_dup"], out[3]["dl"]) == (2, 2)
+    assert out[4]["dl"] == 0 and out[4]["bm25"] == 0.0
+    assert out[2]["bm25"] == 0.0
+
+    # hand-computed BM25 (k1=1.2, b=0.75, Lucene +1 idf) for doc 0
+    n, avgdl = 5, (5 + 10 + 6 + 2 + 0) / 5.0
+    idf_merge = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    tf, dl = 3.0, 5
+    expect = idf_merge * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[0]["bm25"] == pytest.approx(expect, abs=1e-6)
+
+    # rare term outranks common term at similar tf/dl
+    assert out[3]["bm25"] > out[0]["bm25"]
+
+    # top-k: ordered desc, deterministic doc_id tiebreak, limited
+    top = RK.bm25(df, ["dup", "merge"], top_k=2).collect()
+    assert [r["doc_id"] for r in top] == [3, 0]
+
+    # plan shape: no explode/generate, single-row stats side broadcast
+    plan = RK.bm25(df, ["dup", "merge"], top_k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan

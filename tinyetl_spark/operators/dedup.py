@@ -42,6 +42,14 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Track an already-persisted frame another operator hands back to
+    its caller (e.g. pagerank's final ranks) so ``release_caches()``
+    frees it too."""
+    _live_caches.append(df)
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every frame cached by dedup queries; returns the count.
 

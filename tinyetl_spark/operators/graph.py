@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from tinyetl_spark.operators.dedup import register_cache
 from tinyetl_spark.operators.text import canonical_url
 
 # href extraction: double- or single-quoted attribute value, the
@@ -90,4 +91,7 @@ def pagerank(edges: DataFrame, iters: int = 10,
         new.count()
         ranks.unpersist()
         ranks = new
-    return ranks
+    # the returned frame stays persisted (callers reuse it across
+    # actions); register it so release_caches() frees it on a
+    # long-lived driver rather than pinning executor memory forever
+    return register_cache(ranks)
