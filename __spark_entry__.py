@@ -1149,6 +1149,20 @@ def text_bm25_topk(spark, sf_dir):
     return RK.bm25(d, ["dup", "merge", "query"], top_k=20)
 
 
+def text_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/ranking.py lm_score) —
+    the CCNet-style 'perplexity vs a reference LM' filter, trained on
+    the corpus itself with a top-24 vocab so the OOV path fires ('dup'
+    and the rank-25+ tail fall out of vocab at sf0.01). Train = one
+    map-side-combined token count + TakeOrdered vocab cut; score =
+    broadcast join + one O(docs) shuffle. Per-token surprisal is
+    fixed-point (round(-ln p * 1e4) as LONG) so the per-doc sum is
+    exact integer arithmetic — bit-identical on Spark and DuckDB
+    regardless of aggregation order."""
+    d = _t(spark, sf_dir, "documents")
+    return RK.lm_score(d, vocab_k=24)
+
+
 def text_script_profile(spark, sf_dir):
     """Unicode script detection (operators/text.py script_profile):
     per-script character fractions + dominant script over a corpus
@@ -1817,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_blocklist": text_domain_blocklist,
         "text_script_profile": text_script_profile,
         "text_bm25_topk": text_bm25_topk,
+        "text_lm_score": text_lm_score,
         "warc_roundtrip": warc_roundtrip,
         "text_entropy": text_entropy,
         "dedup_lines": dedup_lines,
@@ -2061,6 +2076,35 @@ def oracle_sql() -> dict[str, str]:
             from tf, st
             order by bm25 desc, doc_id
             limit 20
+        """,
+        "text_lm_score": r"""
+            with n as (
+              select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+              from documents),
+            tok as (
+              select doc_id, unnest(string_split(nt, ' ')) as token
+              from n where nt <> ''),
+            cnt as (select token, count(*)::bigint as c from tok group by token),
+            voc as (select token, c from cnt order by c desc, token limit 24),
+            tot as (
+              select (select sum(c) from cnt)::bigint as t_total,
+                     (select count(*) from voc)::bigint as v_size),
+            sc as (
+              select tok.doc_id,
+                cast(round(-ln((coalesce(voc.c, 0) + 1.0)
+                               / (t_total + v_size + 1)) * 10000, 0)
+                     as bigint) as s_fp,
+                case when voc.c is null then 1 else 0 end as oov
+              from tok left join voc using (token), tot),
+            agg as (
+              select doc_id, count(*)::bigint as dl, sum(s_fp) as s,
+                     sum(oov) as o
+              from sc group by doc_id)
+            select d.doc_id,
+              coalesce(agg.dl, 0)::bigint as dl,
+              coalesce(round(agg.s / 10000.0 / agg.dl, 6), 0.0) as mean_nll,
+              coalesce(round(agg.o::double / agg.dl, 6), 0.0) as oov_frac
+            from documents d left join agg on d.doc_id = agg.doc_id
         """,
         "text_gopher_quality": r"""
             with raw as (

@@ -777,3 +777,38 @@ def test_bm25_matches_hand_computation_and_plan_shape(spark):
     assert "Generate" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_score_hand_computation_oov_and_empty(spark):
+    import math
+
+    from tinyetl_spark.operators import ranking as RK
+
+    rows = [
+        (0, "spark spark merge"),
+        (1, "spark weird"),      # 'weird' OOV at vocab_k=2
+        (2, ""),                 # empty doc -> (0, 0.0, 0.0)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in RK.lm_score(df, vocab_k=2).collect()}
+
+    # corpus: spark=3, merge=1, weird=1 -> vocab(2) = {spark, merge}
+    # (count desc, token asc: merge beats weird on the tie at c=1)
+    t, v = 5, 2
+
+    def s(c):
+        return round(-math.log((c + 1) / (t + v + 1)) * 10_000)
+
+    exp0 = round((2 * s(3) + s(1)) / 10_000 / 3, 6)
+    exp1 = round((s(3) + s(0)) / 10_000 / 2, 6)
+    assert out[0]["mean_nll"] == pytest.approx(exp0, abs=1e-9)
+    assert out[1]["mean_nll"] == pytest.approx(exp1, abs=1e-9)
+    assert out[0]["oov_frac"] == 0.0
+    assert out[1]["oov_frac"] == 0.5
+    assert (out[2]["dl"], out[2]["mean_nll"], out[2]["oov_frac"]) == (0, 0.0, 0.0)
+    # OOV-heavy doc scores strictly worse (higher surprisal)
+    assert out[1]["mean_nll"] > out[0]["mean_nll"]
+
+    # plan shape: LM side is broadcast, doc agg is partial-aggregated
+    plan = RK.lm_score(df, vocab_k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -35,6 +35,65 @@ from pyspark.sql import Column, DataFrame
 from .text import norm_text, token_count
 
 
+def lm_score(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+             vocab_k: int = 50_000, scale: int = 10_000) -> DataFrame:
+    """CCNet-style unigram language-model quality scoring: train a
+    Laplace-smoothed unigram LM on the corpus itself (top-`vocab_k`
+    tokens; everything else is the OOV event) and score every document
+    by its mean per-token surprisal in nats — low = close to the corpus
+    LM (keep), high = gibberish/outlier (drop). Output:
+    (id_col, dl, mean_nll, oov_frac), empty docs scoring (0, 0.0, 0.0).
+
+    Scale shape:
+    - pass 1 (train): explode -> count by token is ONE map-side-combined
+      shuffle; the top-k vocab cut is TakeOrderedAndProject (count desc,
+      token asc — deterministic tie-break); corpus totals are an O(1)
+      scalar agg. The k-row LM is then broadcast.
+    - pass 2 (score): explode stays in the map stage, broadcast-hash
+      join against the LM, then ONE partial-aggregated shuffle of
+      O(docs) rows. Nothing quadratic, no Python.
+
+    Float determinism (the oracle contract): per-token surprisal is
+    pinned to fixed-point — ``round(-ln(p) * scale)`` as a LONG — so
+    the per-doc reduction is EXACT integer arithmetic, immune to
+    partition/visit order on both engines; floats only reappear at the
+    output boundary (mean = sum / scale / dl, rounded 6dp).
+
+    p(token) = (c + 1) / (T + V + 1) with c its corpus count (0 if
+    out-of-vocab), T total corpus tokens, V vocab size.
+    """
+    nt = norm_text(F.col(text_col))
+    toks = (df.select(F.col(id_col), nt.alias("_nt"))
+              .filter(F.col("_nt") != "")
+              .select(F.col(id_col), F.explode(F.split("_nt", " ")).alias("token")))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_k)
+    # O(1) driver scalars: total corpus tokens + retained vocab size
+    totals = counts.agg(F.sum("c"), F.count(F.lit(1))).collect()[0]
+    t_total = int(totals[0] or 0)
+    v_size = min(int(totals[1] or 0), vocab_k)
+    denom = float(t_total + v_size + 1)
+
+    c = F.coalesce(F.col("c"), F.lit(0)).cast("double")
+    s_fp = F.round(-F.log((c + F.lit(1.0)) / F.lit(denom)) * F.lit(scale), 0).cast("long")
+    scored = (toks.join(F.broadcast(vocab), "token", "left")
+                  .select(F.col(id_col), s_fp.alias("s_fp"),
+                          (F.col("c").isNull()).cast("long").alias("oov")))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.sum("s_fp").alias("s"),
+        F.sum("oov").alias("o"))
+    return (df.select(id_col).join(agg, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
+                      F.coalesce(
+                          F.round(F.col("s") / F.lit(float(scale)) / F.col("dl"), 6),
+                          F.lit(0.0)).alias("mean_nll"),
+                      F.coalesce(
+                          F.round(F.col("o").cast("double") / F.col("dl"), 6),
+                          F.lit(0.0)).alias("oov_frac")))
+
+
 def _tf(nt: Column, term: str) -> Column:
     """Occurrences of `term` among the whitespace tokens of normalized
     text — split + higher-order filter, no explode."""
