@@ -142,3 +142,30 @@ def test_dedup_lines_stage_strips_boilerplate(spark):
     assert texts[1] == "HOME | ABOUT\n" + body1   # first keeps everything
     assert texts[2] == body2                      # boilerplate stripped
     assert 3 not in texts
+
+
+def test_lm_filter_stage_drops_outlier_docs(spark):
+    # 20 in-distribution docs + one gibberish doc whose tokens are all
+    # out-of-vocab for an LM trained on the corpus itself
+    rows = [(i, GOOD + f" take {i}") for i in range(20)]
+    rows.append((900, "zxq vvk qqj xxo wploc mmzr kkt yyb zzgr hhq pqw "
+                      "rrt eez uui oopml ppq"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    res = curate_corpus(df, quality=False, dedup="off",
+                        lm_max_nll=4.0, lm_vocab_k=30)
+    names = [n for n, _ in res.stages]
+    assert "lm_filter" in names
+    kept = {r["doc_id"] for r in res.df.collect()}
+    assert 900 not in kept
+    assert len(kept) == 20
+
+    # CLI flag wiring
+    from tinyetl_spark.cli import main
+    import tempfile
+    d = tempfile.mkdtemp()
+    src, dst = f"{d}/in.parquet", f"{d}/out"
+    df.write.parquet(src)
+    rc = main(["curate", src, dst, "--no-quality", "--dedup", "off",
+               "--max-nll", "4.0", "--lm-vocab-k", "30", "--no-report"])
+    assert rc == 0
+    assert spark.read.parquet(dst).count() == 20

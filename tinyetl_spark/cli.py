@@ -259,6 +259,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="eval-set source; docs sharing any --ngram "
                          "word n-gram with it are dropped")
     cu.add_argument("--ngram", type=int, default=13)
+    cu.add_argument("--max-nll", type=float, default=None,
+                    help="CCNet-style LM filter: drop docs whose mean "
+                         "per-token surprisal vs a corpus-trained "
+                         "unigram LM exceeds this (nats); runs after "
+                         "dedup, before decontamination")
+    cu.add_argument("--lm-vocab-k", type=int, default=50_000,
+                    help="unigram-LM vocabulary cap for --max-nll")
     cu.add_argument("--sample-rate", type=float, default=None)
     cu.add_argument("--seed", type=int, default=0)
     cu.add_argument("--no-report", action="store_true",
@@ -349,7 +356,8 @@ def main(argv: list[str] | None = None) -> int:
             quality=not args.no_quality, quality_params=qp,
             redact_pii=args.redact_pii, dedup_lines=args.dedup_lines,
             dedup=args.dedup, bench=bench,
-            ngram=args.ngram, sample_rate=args.sample_rate,
+            ngram=args.ngram, lm_max_nll=args.max_nll,
+            lm_vocab_k=args.lm_vocab_k, sample_rate=args.sample_rate,
             seed=args.seed)
         res.df.write.mode("overwrite").parquet(args.target)
         if not args.no_report:

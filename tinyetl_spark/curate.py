@@ -42,6 +42,8 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   dedup_lines: bool = False,
                   dedup: str = "exact",           # exact | cluster | off
                   bench: DataFrame | None = None, ngram: int = 13,
+                  lm_max_nll: float | None = None,
+                  lm_vocab_k: int = 50_000,
                   sample_rate: float | None = None,
                   seed: int = 0) -> CurateResult:
     from tinyetl_spark.operators import decontam as DCON
@@ -94,6 +96,17 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
         res.stages.append(("dedup_cluster", cur))
     elif dedup not in (None, "off"):
         raise ValueError(f"unknown dedup mode {dedup!r}")
+    if lm_max_nll is not None:
+        # CCNet LM-perplexity filter AFTER dedup: training the unigram
+        # LM on deduped text keeps boilerplate from dominating the
+        # vocabulary and making spam look in-distribution
+        from tinyetl_spark.operators import ranking as RK
+        scored = RK.lm_score(cur, text_col=text_col, id_col=id_col,
+                             vocab_k=lm_vocab_k)
+        cur = (cur.join(scored.filter(F.col("mean_nll") <= lm_max_nll)
+                              .select(id_col), id_col)
+                  .select(*cols))
+        res.stages.append(("lm_filter", cur))
     if bench is not None:
         cur = DCON.decontaminate(cur, bench, text_col, id_col, n=ngram)
         res.stages.append(("decontaminate", cur))
