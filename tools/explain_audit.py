@@ -24,7 +24,8 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "dedup_minhash_jaccard",
          "dedup_cluster_canonical", "sample_training_mix",
          "sample_topk_per_lang", "pack_token_shards",
-         "text_gopher_quality", "text_decontaminate"]
+         "text_gopher_quality", "text_decontaminate",
+         "text_bm25_topk", "text_lm_score"]
 
 
 def audit(name, df):
