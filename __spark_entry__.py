@@ -25,6 +25,7 @@ from tinyetl_spark.operators import ranking as RK
 from tinyetl_spark.operators import sampling as SA
 from tinyetl_spark.operators import similarity as S
 from tinyetl_spark.operators import text as T
+from tinyetl_spark.operators import webmeta as WM
 from tinyetl_spark.schema import PAGES_SCHEMA
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -1163,6 +1164,81 @@ def text_lm_score(spark, sf_dir):
     return RK.lm_score(d, vocab_k=24)
 
 
+def _synth_html(doc):
+    """Deterministic html per doc for the webmeta queries: mixed-case
+    tags exercise (?i), every field is present only on its own doc_id
+    stride so absent-field paths fire, and the canonical link is messy
+    (scheme/host case, default port, utm param, unsorted query, fragment)
+    so canonical_url has real work to do."""
+    title_open = F.when(doc % 2 == 0, F.lit("<TITLE>")).otherwise(F.lit("<title>"))
+    title_close = F.when(doc % 2 == 0, F.lit("</TITLE>")).otherwise(F.lit("</title>"))
+    desc = F.when(doc % 3 == 0,
+                  F.concat(F.lit('<meta name="description" content="about '),
+                           F.substring(F.col("text"), 21, 20), F.lit('">'))
+                  ).otherwise(F.lit(""))
+    canon = F.when(doc % 4 == 0,
+                   F.concat(F.lit('<link rel="canonical" href="HTTPS://Ex'),
+                            (doc % 5).cast("string"),
+                            F.lit(".org:443/d/"), doc.cast("string"),
+                            F.lit('?utm_source=x&b=2&a=1#frag">'))
+                   ).otherwise(F.lit(""))
+    pub = F.when(doc % 6 == 0,
+                 F.concat(F.lit('<meta property="article:published_time" '
+                                'content="2026-0'),
+                          (doc % 9 + 1).cast("string"),
+                          F.lit('-10T12:00:00">'))
+                 ).otherwise(F.lit(""))
+    a1 = F.concat(F.lit('<a href="https://ex'), ((doc + 1) % 5).cast("string"),
+                  F.lit(".org/d/"), ((doc + 1) % 500).cast("string"),
+                  F.lit('" class="x">read more</a>'))
+    a2 = F.when(doc % 10 == 0,
+                F.lit('<A href="https://ex0.org/">Home</A>')).otherwise(F.lit(""))
+    a3 = F.when(doc % 7 == 0,
+                F.concat(F.lit("<a href='https://ex"), (doc % 5).cast("string"),
+                         F.lit(".org/d/"), (doc % 500).cast("string"),
+                         F.lit("'></a>"))).otherwise(F.lit(""))  # self-link, empty anchor
+    return F.concat(F.lit("<html><head>"), title_open,
+                    F.lit("Doc "), doc.cast("string"), F.lit(" - "),
+                    F.substring(F.col("text"), 1, 15), title_close,
+                    desc, canon, pub,
+                    F.lit("</head><body>"), a1, a2, a3,
+                    F.lit("</body></html>"))
+
+
+def _webmeta_pages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    url = F.concat(F.lit("https://ex"), (doc % 5).cast("string"),
+                   F.lit(".org/d/"), doc.cast("string"))
+    return d.select(url.alias("url"), _synth_html(doc).alias("html"))
+
+
+def web_page_metadata(spark, sf_dir):
+    """Structured extraction from raw html (operators/webmeta.py
+    page_metadata): title / meta-description / canonical link /
+    published-time via (?i) regexp in the Java∩RE2 subset — a pure
+    Catalyst projection fused into the scan. The oracle re-extracts
+    with DuckDB's RE2 AND asserts the canonicalized link against an
+    independently constructed expected string."""
+    pages = _webmeta_pages(spark, sf_dir)
+    out = WM.page_metadata(pages)
+    return out.select("url", "title", "meta_desc", "canonical",
+                      F.date_format("published_time",
+                                    "yyyy-MM-dd HH:mm:ss").alias("published_s"))
+
+
+def web_anchor_texts(spark, sf_dir):
+    """Incoming anchor-text aggregation (operators/webmeta.py
+    anchor_edges + top_anchors): one explode of the per-page anchor
+    list, map-side-combined count by (dst, anchor), per-dst rank over
+    the distinct-anchor set. Self-links and empty anchors drop; the
+    hot 'home' anchor (every 10th page) exercises the combiner path."""
+    pages = _webmeta_pages(spark, sf_dir)
+    edges = WM.anchor_edges(pages)
+    return (WM.top_anchors(edges, k=2)
+              .orderBy("dst", "rank"))
+
+
 def text_script_profile(spark, sf_dir):
     """Unicode script detection (operators/text.py script_profile):
     per-script character fractions + dominant script over a corpus
@@ -1832,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": text_script_profile,
         "text_bm25_topk": text_bm25_topk,
         "text_lm_score": text_lm_score,
+        "web_page_metadata": web_page_metadata,
+        "web_anchor_texts": web_anchor_texts,
         "warc_roundtrip": warc_roundtrip,
         "text_entropy": text_entropy,
         "dedup_lines": dedup_lines,
@@ -2076,6 +2154,86 @@ def oracle_sql() -> dict[str, str]:
             from tf, st
             order by bm25 desc, doc_id
             limit 20
+        """,
+        "web_page_metadata": r"""
+            with p as (
+              select doc_id,
+                'https://ex' || (doc_id % 5) || '.org/d/' || doc_id as url,
+                '<html><head>'
+                || case when doc_id % 2 = 0 then '<TITLE>' else '<title>' end
+                || 'Doc ' || doc_id || ' - ' || substr(text, 1, 15)
+                || case when doc_id % 2 = 0 then '</TITLE>' else '</title>' end
+                || case when doc_id % 3 = 0
+                        then '<meta name="description" content="about '
+                             || substr(text, 21, 20) || '">' else '' end
+                || case when doc_id % 4 = 0
+                        then '<link rel="canonical" href="HTTPS://Ex'
+                             || (doc_id % 5) || '.org:443/d/' || doc_id
+                             || '?utm_source=x&b=2&a=1#frag">' else '' end
+                || case when doc_id % 6 = 0
+                        then '<meta property="article:published_time" content="2026-0'
+                             || (doc_id % 9 + 1) || '-10T12:00:00">' else '' end
+                || '</head><body></body></html>' as html
+              from documents)
+            select url,
+              trim(regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1))
+                as title,
+              trim(regexp_extract(html,
+                '(?i)<meta\s+name=["'']description["'']\s+content=["'']([^"'']*)["'']',
+                1)) as meta_desc,
+              case when doc_id % 4 = 0
+                   then 'https://ex' || (doc_id % 5) || '.org/d/' || doc_id
+                        || '?a=1&b=2'
+                   else '' end as canonical,
+              case when doc_id % 6 = 0
+                   then '2026-0' || (doc_id % 9 + 1) || '-10 12:00:00'
+                   else null end as published_s
+            from p
+        """,
+        "web_anchor_texts": r"""
+            with p as (
+              select doc_id,
+                'https://ex' || (doc_id % 5) || '.org/d/' || doc_id as src,
+                '<html><head></head><body>'
+                || '<a href="https://ex' || ((doc_id + 1) % 5) || '.org/d/'
+                || ((doc_id + 1) % 500) || '" class="x">read more</a>'
+                || case when doc_id % 10 = 0
+                        then '<A href="https://ex0.org/">Home</A>' else '' end
+                || case when doc_id % 7 = 0
+                        then '<a href=''https://ex' || (doc_id % 5) || '.org/d/'
+                             || (doc_id % 500) || '''></a>' else '' end
+                || '</body></html>' as html
+              from documents),
+            ex as (
+              select src,
+                regexp_extract_all(html,
+                  '(?i)<a\s[^>]*href=["'']([^"''<>\s]+)["''][^>]*>([^<]*)</a>', 1)
+                  as hrefs,
+                regexp_extract_all(html,
+                  '(?i)<a\s[^>]*href=["'']([^"''<>\s]+)["''][^>]*>([^<]*)</a>', 2)
+                  as txts
+              from p),
+            e as (
+              -- anchor hrefs are constructed in canonical form, so
+              -- canonicalization is the identity here (the messy-url
+              -- path is exercised by web_page_metadata's oracle)
+              select src, unnest(hrefs) as dst,
+                trim(regexp_replace(lower(unnest(txts)), '\s+', ' ', 'g'))
+                  as anchor
+              from ex),
+            cnt as (
+              select dst, anchor, count(*)::bigint as n_links
+              from e
+              where dst <> '' and dst <> src and anchor <> ''
+              group by dst, anchor),
+            r as (
+              select dst, anchor, n_links,
+                row_number() over (partition by dst
+                                   order by n_links desc, anchor) as rank
+              from cnt)
+            select dst, anchor, n_links, rank from r
+            where rank <= 2
+            order by dst, rank
         """,
         "text_lm_score": r"""
             with n as (

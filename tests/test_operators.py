@@ -812,3 +812,45 @@ def test_lm_score_hand_computation_oov_and_empty(spark):
     # plan shape: LM side is broadcast, doc agg is partial-aggregated
     plan = RK.lm_score(df, vocab_k=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_webmeta_extraction_and_anchor_aggregation(spark):
+    from tinyetl_spark.operators import webmeta as WM
+
+    html1 = ("<html><head><TITLE> My Page </TITLE>"
+             "<meta name='description' content='a fine page'>"
+             "<link rel=\"canonical\" href=\"HTTP://EX.org:80/a?utm_x=1&b=2#f\">"
+             "<meta property='article:published_time' content='2026-03-01T08:30:00'>"
+             "</head><body>"
+             "<a href=\"https://ex.org/b\" class=\"z\">Read  More</a>"
+             "<A href='https://ex.org/c'>Home</A>"
+             "<a href='https://ex.org/a'>self</a>"   # self-link
+             "</body></html>")
+    html2 = "<html><head></head><body><a href='https://ex.org/b'>read more</a></body></html>"
+    rows = [("https://ex.org/a", bytearray(html1, "utf-8")),   # binary html
+            ("https://ex.org/d", bytearray(html2, "utf-8"))]
+    df = spark.createDataFrame(rows, "url: string, html: binary")
+
+    meta = {r["url"]: r for r in WM.page_metadata(df).collect()}
+    m = meta["https://ex.org/a"]
+    assert m["title"] == "My Page"
+    assert m["meta_desc"] == "a fine page"
+    assert m["canonical"] == "http://ex.org/a?b=2"   # port+utm+fragment gone
+    assert str(m["published_time"]) == "2026-03-01 08:30:00"
+    m2 = meta["https://ex.org/d"]
+    assert (m2["title"], m2["meta_desc"], m2["canonical"]) == ("", "", "")
+    assert m2["published_time"] is None
+
+    edges = WM.anchor_edges(df).collect()
+    got = {(r["src"], r["dst"], r["anchor"]) for r in edges}
+    assert got == {
+        ("https://ex.org/a", "https://ex.org/b", "read more"),
+        ("https://ex.org/a", "https://ex.org/c", "home"),
+        ("https://ex.org/d", "https://ex.org/b", "read more"),
+    }  # self-link dropped; anchor text normalized; zip stays aligned
+
+    top = WM.top_anchors(WM.anchor_edges(df), k=1).collect()
+    by_dst = {r["dst"]: r for r in top}
+    assert by_dst["https://ex.org/b"]["n_links"] == 2
+    assert by_dst["https://ex.org/b"]["anchor"] == "read more"
+    assert by_dst["https://ex.org/c"]["rank"] == 1
