@@ -736,6 +736,45 @@ def test_dedup_lines_global_keeps_first_occurrence(spark):
     assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
 
 
+def test_dedup_ngram_spans_removes_cross_doc_windows(spark):
+    slogan = "the quick brown fox jumps over"      # 6 tokens, k=6 below
+    rows = [
+        (1, f"a1 a2 a3 {slogan} b1 b2"),
+        (2, f"c1 {slogan}  c2 c3 c4"),             # double space normalizes
+        (3, "d1 d2 d3 d4 d5 d6 d7 d8"),            # all-unique: untouched
+        (4, f"{slogan} then {slogan}"),            # both occurrences removed
+        (5, "short doc"),                          # shorter than k
+        (6, ""),                                   # empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.dedup_ngram_spans(df, k=6).orderBy("doc_id").collect()}
+    # span removal hits EVERY occurrence in EVERY doc (not keep-first)
+    assert out[1]["text"] == "a1 a2 a3 b1 b2"
+    assert (out[1]["n_tokens_in"], out[1]["n_tokens_kept"]) == (11, 5)
+    assert out[2]["text"] == "c1 c2 c3 c4"
+    assert (out[2]["n_tokens_in"], out[2]["n_tokens_kept"]) == (10, 4)
+    # no cross-doc duplicated window -> byte-identical passthrough
+    assert out[3]["text"] == rows[2][1]
+    assert out[3]["n_tokens_in"] == out[3]["n_tokens_kept"] == 8
+    # doc 4: both slogan copies go; "then" survives only if no duplicated
+    # window covers it — the windows spanning "... over then the ..." are
+    # unique to doc 4, so it survives
+    assert out[4]["text"] == "then"
+    assert (out[4]["n_tokens_in"], out[4]["n_tokens_kept"]) == (13, 1)
+    # shorter than k / empty: untouched, zero-safe
+    assert out[5]["text"] == "short doc" and out[5]["n_tokens_kept"] == 2
+    assert out[6]["text"] == "" and out[6]["n_tokens_in"] == 0
+    # within-doc-only repeats do not trigger removal (min_docs=2)
+    solo = spark.createDataFrame(
+        [(1, "x1 x2 x3 x1 x2 x3 x1 x2 x3"), (2, "y1 y2 y3 y4")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"]: r["text"] for r in
+            D.dedup_ngram_spans(solo, k=3).collect()}
+    assert kept[1] == "x1 x2 x3 x1 x2 x3 x1 x2 x3"
+    assert kept[2] == "y1 y2 y3 y4"
+
+
 def test_bm25_matches_hand_computation_and_plan_shape(spark):
     import math
 

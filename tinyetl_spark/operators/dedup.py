@@ -507,3 +507,72 @@ def hof_transform_sorted(pos_col: str, val_col: str):
     from pyspark.sql.functions import transform as _tf
     return _tf(F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
                lambda s: s[val_col])
+
+
+def dedup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 8,
+                      min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated-span removal at word k-gram granularity
+    (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better", the exact-substring pass — re-expressed over token windows
+    instead of a suffix array, which is the standard shuffle-friendly
+    distributed formulation: a window hash groupBy replaces the global
+    suffix sort).
+
+    A k-token window whose exact content occurs in >= ``min_docs``
+    DISTINCT documents is boilerplate; every token covered by ANY such
+    window is dropped from EVERY document (all occurrences — span
+    removal, unlike the keep-first rule of ``dedup_lines_global``), and
+    survivors re-join with single spaces. Whitespace is normalized
+    before tokenization so the token stream is reproducible across
+    engines. Within-doc repeats alone do not trigger removal
+    (``min_docs`` counts distinct docs).
+
+    Returns one row per input doc: (id, text, n_tokens_in,
+    n_tokens_kept).
+
+    Scale shape: tokenization is computed once and persisted (released
+    by the module cache registry); the duplicated-window detection is a
+    map-side-combined count-distinct on md5(window) — never a window
+    function over the exploded corpus; the duplicated-hash set joining
+    back is tiny relative to the corpus (AQE broadcasts it); covered
+    positions fold per-doc with collect_set, bounded by doc length.
+    """
+    release_caches()
+    doc = F.col(id_col)
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = _persist(df.select(
+        doc.alias("_doc"),
+        F.when(norm == "", F.array().cast("array<string>"))
+         .otherwise(F.split(norm, " ")).alias("_toks")))
+    # (doc, pos, h): md5 of each k-token window, 1-based pos. sequence()
+    # auto-descends when start > stop, so short docs need the guard.
+    nwin = F.size("_toks") - F.lit(k - 1)
+    win = (toks.select(
+               "_doc",
+               F.when(nwin >= 1, F.sequence(F.lit(1), nwin))
+                .otherwise(F.array().cast("array<int>")).alias("_ps"),
+               "_toks")
+               .select("_doc", F.explode("_ps").alias("_pos"), "_toks")
+               .select("_doc", "_pos",
+                       F.md5(F.array_join(
+                           F.slice("_toks", F.col("_pos"), k), " "))
+                        .alias("_h")))
+    dup = (win.groupBy("_h")
+              .agg(F.count_distinct("_doc").alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_h"))
+    covered = (win.join(dup, "_h")
+                  .select("_doc", F.explode(
+                      F.sequence("_pos", F.col("_pos") + F.lit(k - 1)))
+                      .alias("_cpos"))
+                  .groupBy("_doc")
+                  .agg(F.collect_set("_cpos").alias("_cov")))
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter("_toks",
+                    lambda t, i: ~F.array_contains(cov, i + F.lit(1)))
+    return (toks.join(covered, "_doc", "left")
+                .select(F.col("_doc").alias(id_col),
+                        F.array_join(kept, " ").alias(text_col),
+                        F.size("_toks").alias("n_tokens_in"),
+                        F.size(kept).alias("n_tokens_kept")))
