@@ -25,7 +25,7 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "dedup_cluster_canonical", "sample_training_mix",
          "sample_topk_per_lang", "pack_token_shards",
          "text_gopher_quality", "text_decontaminate",
-         "text_bm25_topk", "text_lm_score"]
+         "text_bm25_topk", "text_lm_score", "dedup_ngram_spans"]
 
 
 def audit(name, df):
