@@ -71,7 +71,7 @@ def _resolve_saved_log() -> str | None:
 HEADLINE = [
     "cdc_lww_latest", "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_suppliers", "q_events_windowed", "text_profile",
-    "dedup_minhash_jaccard", "ann_cosine_topk",
+    "dedup_minhash_jaccard", "ann_cosine_topk", "dedup_ngram_spans",
 ]
 
 
