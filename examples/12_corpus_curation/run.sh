@@ -56,6 +56,21 @@ back = spark.read.parquet("curated_mix")
 assert back.count() == sum(counts.values())
 print(f"ok: curated mix written ({back.count()} rows)")
 assert D.release_caches() >= 1
+
+# exact-substring pass (Lee et al. 2021): a shared ad sentence embedded
+# MID-TEXT (no line boundary — line dedup can't see it) is removed from
+# every doc it appears in, all occurrences
+ad = "buy premium stars at the official topic store today"   # 9 tokens
+spans = spark.createDataFrame(
+    [(1, f"intro one {ad} body about alpha"),
+     (2, f"intro two {ad} body about beta"),
+     (3, "a clean doc with no advertisement inside it at all")],
+    "doc_id: long, text: string")
+out = {r["doc_id"]: r["text"] for r in
+       D.dedup_ngram_spans(spans, k=8).collect()}
+assert ad not in out[1] and ad not in out[2], out
+assert out[3] == "a clean doc with no advertisement inside it at all"
+print("ok: cross-doc ad span removed mid-text, clean doc untouched")
 EOF
 
 echo "=== 12_corpus_curation PASSED ==="

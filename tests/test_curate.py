@@ -144,6 +144,30 @@ def test_dedup_lines_stage_strips_boilerplate(spark):
     assert 3 not in texts
 
 
+def test_dedup_spans_stage_removes_cross_doc_spans(spark):
+    """Docs 1 and 2 share a 6-token slogan mid-text that does NOT align
+    to a line boundary (line dedup would miss it); the span pass removes
+    it from BOTH (all occurrences), and a doc that is nothing but the
+    shared span empties out and drops."""
+    slogan = "subscribe now to our premium newsletter today"   # 7 tokens
+    rows = [
+        (1, GOOD + " " + slogan + " take one of the story"),
+        (2, GOOD + " " + slogan + " take two of the story"),
+        (3, slogan),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate_corpus(df, dedup_spans=6, dedup="off", quality=False)
+    funnel = dict(res.funnel())
+    assert funnel["dedup_spans"] == 2            # doc 3 emptied -> dropped
+    texts = {r["doc_id"]: r["text"] for r in res.df.collect()}
+    # the whole shared prefix (GOOD + slogan + the common "take") is
+    # covered by cross-doc 6-grams and goes from both docs; only the
+    # tokens after the first doc-unique word survive
+    assert texts[1] == "one of the story"
+    assert texts[2] == "two of the story"
+    assert 3 not in texts
+
+
 def test_lm_filter_stage_drops_outlier_docs(spark):
     # 20 in-distribution docs + one gibberish doc whose tokens are all
     # out-of-vocab for an LM trained on the corpus itself

@@ -255,6 +255,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="CCNet/C4 global line pass before doc dedup: "
                          "every duplicated line corpus-wide keeps only "
                          "its first occurrence")
+    cu.add_argument("--dedup-spans", type=int, default=None, metavar="K",
+                    help="Lee-et-al exact-substring pass before doc "
+                         "dedup: remove every word K-gram span that "
+                         "occurs in >=2 distinct docs (all occurrences)")
     cu.add_argument("--decontaminate", default=None, metavar="BENCH_URI",
                     help="eval-set source; docs sharing any --ngram "
                          "word n-gram with it are dropped")
@@ -355,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
             blocklist=blocked, url_col=args.url_col, nfc=args.nfc,
             quality=not args.no_quality, quality_params=qp,
             redact_pii=args.redact_pii, dedup_lines=args.dedup_lines,
+            dedup_spans=args.dedup_spans,
             dedup=args.dedup, bench=bench,
             ngram=args.ngram, lm_max_nll=args.max_nll,
             lm_vocab_k=args.lm_vocab_k, sample_rate=args.sample_rate,

@@ -9,8 +9,10 @@ reach a shuffle) and reports the funnel.
 
 Scale shape: quality + PII are map-only and fuse into the scan; exact
 dedup is one hash-shuffle on the fingerprint; cluster dedup is
-LSH-bucketed (never all-pairs) + O(log n) CC rounds; decontamination
-is a broadcast semi-join; sampling is map-only. Stage COUNTS are an
+LSH-bucketed (never all-pairs) + O(log n) CC rounds; the line and span
+passes are map-side-combined hash aggregations (never a corpus-wide
+window or suffix sort); decontamination is a broadcast semi-join;
+sampling is map-only. Stage COUNTS are an
 optional extra job per stage — skip the report at 100 TB or pay one
 cached pass.
 """
@@ -40,6 +42,7 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   quality: bool = True, quality_params: dict | None = None,
                   redact_pii: bool = False,
                   dedup_lines: bool = False,
+                  dedup_spans: int | None = None,
                   dedup: str = "exact",           # exact | cluster | off
                   bench: DataFrame | None = None, ngram: int = 13,
                   lm_max_nll: float | None = None,
@@ -86,6 +89,19 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                                .select(id_col, text_col), id_col)
                   .select(*cols))
         res.stages.append(("dedup_lines", cur))
+    if dedup_spans is not None:
+        # Lee et al. exact-substring pass at word k-gram granularity:
+        # removes duplicated SPANS (every occurrence) that line dedup
+        # misses when boilerplate doesn't align to line boundaries.
+        # Runs before doc-level dedup for the same reason as the line
+        # pass; docs emptied by it were pure boilerplate.
+        deduped = D.dedup_ngram_spans(cur, id_col, text_col,
+                                      k=dedup_spans)
+        cur = (cur.drop(text_col)
+                  .join(deduped.filter(F.col(text_col) != "")
+                               .select(id_col, text_col), id_col)
+                  .select(*cols))
+        res.stages.append(("dedup_spans", cur))
     if dedup == "exact":
         cur = D.exact_dedup(cur, id_col, text_col).select(*cols)
         res.stages.append(("dedup_exact", cur))
