@@ -1112,6 +1112,36 @@ def dedup_ngram_spans(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def dedup_spans_incremental(spark, sf_dir):
+    """Incremental span-dedup (operators/dedup.py
+    dedup_ngram_spans_incremental): even-id docs are the stored corpus
+    (tokenized once into a (h, ndocs) window index), odd-id docs the
+    incoming micro-batch — the CDC-ingest shape, O(batch) work. The
+    pass is EXACT vs the global rule over corpus ∪ batch restricted to
+    the batch, so the oracle replays the GLOBAL window/cover SQL over
+    all docs and keeps the odd ids — any divergence between the
+    incremental probe path and the global pass fails the hash."""
+    from tinyetl_spark.operators import dedup as D
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    aug = F.concat(
+        F.when(doc % 3 == 0,
+               F.lit("breaking news subscribe to our daily newsletter "
+                     "for updates ")).otherwise(F.lit("")),
+        F.substring("text", 1, 120),
+        F.when(doc % 5 == 0,
+               F.lit(" all rights reserved copyright two thousand "
+                     "twenty six")).otherwise(F.lit("")))
+    base = d.select("doc_id", aug.alias("text"))
+    corpus = base.filter(doc % 2 == 0)
+    batch = base.filter(doc % 2 == 1)
+    idx = D.build_ngram_span_index(corpus, k=8)
+    out = D.dedup_ngram_spans_incremental(batch, idx, k=8)
+    return (out.select("doc_id", F.col("text").alias("text_dedup"),
+                       "n_tokens_in", "n_tokens_kept")
+               .orderBy("doc_id"))
+
+
 def text_entropy(spark, sf_dir):
     """Shannon-entropy quality signals (operators/text.py
     entropy_metrics): char/word entropy in bits over an augmented corpus
@@ -1944,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": text_entropy,
         "dedup_lines": dedup_lines,
         "dedup_ngram_spans": dedup_ngram_spans,
+        "dedup_spans_incremental": dedup_spans_incremental,
         "graph_pagerank": graph_pagerank,
         "host_quality_rollup": host_quality_rollup,
         "text_boilerplate_ngrams": text_boilerplate_ngrams,
@@ -2657,6 +2688,61 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_kept, 0)::int as n_tokens_kept
             from norm n left join kept k using (doc_id)
             order by doc_id
+        """,
+        "dedup_spans_incremental": r"""
+            with aug as (
+              select doc_id,
+                case when doc_id % 3 = 0
+                     then 'breaking news subscribe to our daily '
+                          || 'newsletter for updates ' else '' end
+                || substr(text, 1, 120)
+                || case when doc_id % 5 = 0
+                        then ' all rights reserved copyright two '
+                             || 'thousand twenty six' else '' end as text
+              from documents),
+            norm as (
+              select doc_id,
+                list_filter(
+                  string_split(
+                    trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                  t -> t != '') as toks
+              from aug),
+            win as (
+              select doc_id, toks,
+                unnest(range(1, greatest(len(toks) - 7, 0) + 1)) as pos
+              from norm),
+            winh as (
+              select doc_id, pos,
+                md5(array_to_string(toks[pos:pos+7], ' ')) as h
+              from win),
+            dup as (
+              select h from winh
+              group by h having count(distinct doc_id) >= 2),
+            cov as (
+              select distinct w.doc_id, w.pos + gs.j as cpos
+              from winh w
+              join dup using (h)
+              cross join generate_series(0, 7) as gs(j)),
+            tok as (
+              select doc_id,
+                unnest(toks) as tok,
+                unnest(range(1, len(toks) + 1)) as pos
+              from norm),
+            kept as (
+              select t.doc_id,
+                string_agg(tok, ' ' order by pos) as text_dedup,
+                count(*) as n_kept
+              from tok t
+              left join cov c on t.doc_id = c.doc_id and t.pos = c.cpos
+              where c.cpos is null
+              group by t.doc_id)
+            select n.doc_id,
+                   coalesce(k.text_dedup, '') as text_dedup,
+                   len(n.toks)::int as n_tokens_in,
+                   coalesce(k.n_kept, 0)::int as n_tokens_kept
+            from norm n left join kept k using (doc_id)
+            where n.doc_id % 2 = 1
+            order by n.doc_id
         """,
         "text_entropy": r"""
             with aug as (

@@ -775,6 +775,49 @@ def test_dedup_ngram_spans_removes_cross_doc_windows(spark):
     assert kept[2] == "y1 y2 y3 y4"
 
 
+def test_dedup_ngram_spans_incremental_matches_global_pass(spark):
+    """The incremental pass over (batch, corpus-index) must equal the
+    GLOBAL pass over corpus ∪ batch restricted to batch docs — the
+    exactness claim in its docstring — including a window that is
+    unique within the batch but already known to the corpus."""
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta own tail one"),
+        (2, "totally different corpus content with no overlap at all"),
+    ]
+    batch_rows = [
+        # repeats corpus doc 1's opening 6-gram (corpus hit, batch-unique)
+        (10, "alpha beta gamma delta epsilon zeta new stuff here"),
+        # shares a 6-gram with doc 11 only (batch-internal duplicate)
+        (11, "p1 p2 shared span of six tokens here q1"),
+        (12, "r1 shared span of six tokens here r2 r3"),
+        (13, "nothing duplicated anywhere in this one at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    idx = D.build_ngram_span_index(corpus, k=6)
+    inc = {r["doc_id"]: r for r in
+           D.dedup_ngram_spans_incremental(batch, idx, k=6).collect()}
+    glob = {r["doc_id"]: r for r in
+            D.dedup_ngram_spans(corpus.unionByName(batch), k=6).collect()
+            if r["doc_id"] >= 10}
+    assert set(inc) == set(glob)
+    for d in inc:
+        assert inc[d]["text"] == glob[d]["text"], d
+        assert inc[d]["n_tokens_kept"] == glob[d]["n_tokens_kept"], d
+    # sanity on the semantics themselves
+    assert inc[10]["text"] == "new stuff here"     # corpus-known span gone
+    assert "shared span of six tokens here" not in inc[11]["text"]
+    assert inc[13]["text"] == batch_rows[3][1]     # untouched
+    # index maintenance: union + re-aggregate keeps ndocs exact
+    idx2 = (idx.unionByName(D.build_ngram_span_index(batch, k=6))
+               .groupBy("h").agg(F.sum("ndocs").alias("ndocs")))
+    merged = D.build_ngram_span_index(
+        corpus.unionByName(batch), k=6)
+    a = {r["h"]: r["ndocs"] for r in idx2.collect()}
+    b = {r["h"]: r["ndocs"] for r in merged.collect()}
+    assert a == b
+
+
 def test_bm25_matches_hand_computation_and_plan_shape(spark):
     import math
 

@@ -539,29 +539,46 @@ def dedup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
     positions fold per-doc with collect_set, bounded by doc length.
     """
     release_caches()
-    doc = F.col(id_col)
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    toks = _persist(df.select(
-        doc.alias("_doc"),
-        F.when(norm == "", F.array().cast("array<string>"))
-         .otherwise(F.split(norm, " ")).alias("_toks")))
-    # (doc, pos, h): md5 of each k-token window, 1-based pos. sequence()
-    # auto-descends when start > stop, so short docs need the guard.
-    nwin = F.size("_toks") - F.lit(k - 1)
-    win = (toks.select(
-               "_doc",
-               F.when(nwin >= 1, F.sequence(F.lit(1), nwin))
-                .otherwise(F.array().cast("array<int>")).alias("_ps"),
-               "_toks")
-               .select("_doc", F.explode("_ps").alias("_pos"), "_toks")
-               .select("_doc", "_pos",
-                       F.md5(F.array_join(
-                           F.slice("_toks", F.col("_pos"), k), " "))
-                        .alias("_h")))
+    toks = _persist(_span_toks(df, id_col, text_col))
+    win = _span_windows(toks, k)
     dup = (win.groupBy("_h")
               .agg(F.count_distinct("_doc").alias("_nd"))
               .filter(F.col("_nd") >= min_docs)
               .select("_h"))
+    return _strip_covered(toks, win, dup, id_col, text_col, k)
+
+
+def _span_toks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_doc, _toks): whitespace-normalized token arrays."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("_doc"),
+        F.when(norm == "", F.array().cast("array<string>"))
+         .otherwise(F.split(norm, " ")).alias("_toks"))
+
+
+def _span_windows(toks: DataFrame, k: int) -> DataFrame:
+    """(_doc, _pos, _h): md5 of each k-token window, 1-based pos.
+    sequence() auto-descends when start > stop, so short docs need the
+    empty-array guard."""
+    nwin = F.size("_toks") - F.lit(k - 1)
+    return (toks.select(
+                "_doc",
+                F.when(nwin >= 1, F.sequence(F.lit(1), nwin))
+                 .otherwise(F.array().cast("array<int>")).alias("_ps"),
+                "_toks")
+                .select("_doc", F.explode("_ps").alias("_pos"), "_toks")
+                .select("_doc", "_pos",
+                        F.md5(F.array_join(
+                            F.slice("_toks", F.col("_pos"), k), " "))
+                         .alias("_h")))
+
+
+def _strip_covered(toks: DataFrame, win: DataFrame, dup: DataFrame,
+                   id_col: str, text_col: str, k: int) -> DataFrame:
+    """Drop every token covered by a window whose hash is in ``dup``;
+    reassemble text and counts (shared by the global + incremental
+    span-dedup passes)."""
     covered = (win.join(dup, "_h")
                   .select("_doc", F.explode(
                       F.sequence("_pos", F.col("_pos") + F.lit(k - 1)))
@@ -576,3 +593,59 @@ def dedup_ngram_spans(df: DataFrame, id_col: str = "doc_id",
                         F.array_join(kept, " ").alias(text_col),
                         F.size("_toks").alias("n_tokens_in"),
                         F.size(kept).alias("n_tokens_kept")))
+
+
+def build_ngram_span_index(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           k: int = 8) -> DataFrame:
+    """(h, ndocs) rows for a corpus — the maintained state of the
+    incremental span-dedup pass: one row per DISTINCT k-token window
+    corpus-wide with its distinct-doc count. Per micro-batch the caller
+    unions the batch's own index in and re-aggregates:
+
+        index = (index.unionByName(build_ngram_span_index(batch, ...))
+                      .groupBy("h").agg(F.sum("ndocs").alias("ndocs")))
+
+    (doc sets across batches are disjoint in a CDC stream keyed by
+    event, so summing distinct-doc counts stays exact). Store it as a
+    lake table bucketed on ``h`` and the incremental probe join is
+    co-located."""
+    win = _span_windows(_span_toks(df, id_col, text_col), k)
+    return (win.groupBy(F.col("_h").alias("h"))
+               .agg(F.count_distinct("_doc").alias("ndocs")))
+
+
+def dedup_ngram_spans_incremental(incoming: DataFrame, index: DataFrame,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  k: int = 8) -> DataFrame:
+    """Span-dedup an INCOMING micro-batch against an EXISTING corpus —
+    the CDC-ingest shape: strip boilerplate spans from new documents
+    without ever re-tokenizing the stored corpus. EXACT with respect to
+    the global rule over (corpus ∪ batch) for the batch side: a batch
+    window is duplicated iff it exists anywhere in the corpus index
+    (1 corpus doc + 1 batch doc = 2 distinct docs) OR occurs in >= 2
+    distinct batch docs. Corpus documents already stored keep their
+    text — retroactive corpus cleaning is a compaction job, same
+    trade-off as ``dedup_minhash_incremental``.
+
+    Returns the same shape as ``dedup_ngram_spans`` for the batch.
+
+    Scale shape (batch B vs corpus C): tokenize + hash the BATCH only —
+    O(B) CPU, never O(C); the probe join against the index shuffles
+    O(B) rows when the index is bucketed on ``h`` (see
+    ``build_ngram_span_index``); batch-internal duplicates fold with
+    the same map-side-combined count-distinct as the global pass.
+    """
+    release_caches()
+    toks = _persist(_span_toks(incoming, id_col, text_col))
+    win = _persist(_span_windows(toks, k))
+    in_corpus = (win.select("_h").distinct()
+                    .join(index.select(F.col("h").alias("_h")), "_h",
+                          "left_semi"))
+    in_batch = (win.groupBy("_h")
+                   .agg(F.count_distinct("_doc").alias("_nd"))
+                   .filter(F.col("_nd") >= 2)
+                   .select("_h"))
+    dup = in_corpus.unionByName(in_batch).distinct()
+    return _strip_covered(toks, win, dup, id_col, text_col, k)
