@@ -1466,6 +1466,21 @@ def pack_token_shards(spark, sf_dir):
             .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id"))
 
 
+def pack_doc_chunks(spark, sf_dir):
+    """Document chunking (operators/packing.py chunk_documents): each
+    doc split into 40-token chunks with 8-token overlap — the
+    pre-training prep step between curation and shard packing. Pure
+    Catalyst (sequence + filter + posexplode + slice), zero shuffle;
+    the oracle replays the identical start-keep rule (first, or at most
+    n - overlap) and slicing with DuckDB list functions."""
+    from tinyetl_spark.operators.packing import chunk_documents
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (chunk_documents(d, chunk_size=40, overlap=8)
+            .select("doc_id", "chunk_id",
+                    F.col("text").alias("chunk_text"), "n_tokens")
+            .orderBy("doc_id", "chunk_id"))
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal decode through a REAL codec (r4): a P6 PPM payload is
     synthesized per document — pixel bytes are the md5 bytes of its
@@ -1987,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_training_mix": sample_training_mix,
         "sample_topk_per_lang": sample_topk_per_lang,
         "pack_token_shards": pack_token_shards,
+        "pack_doc_chunks": pack_doc_chunks,
         "q_string_funcs": q_string_funcs,
         "q_validation_defaults": q_validation_defaults,
         "q_cube_events": q_cube_events,
@@ -3388,6 +3404,29 @@ def oracle_sql() -> dict[str, str]:
             select lang, sample_rank, doc_id from r
             where sample_rank <= 20
             order by lang, sample_rank
+        """,
+        "pack_doc_chunks": r"""
+            with norm as (
+              select doc_id,
+                string_split(
+                  trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') as toks
+              from documents
+              where trim(regexp_replace(text, '\s+', ' ', 'g')) != ''),
+            starts as (
+              select doc_id, toks,
+                unnest(range(1, len(toks) + 1, 32)) as s
+              from norm),
+            kept as (
+              select doc_id, toks, s,
+                row_number() over
+                  (partition by doc_id order by s) as chunk_id
+              from starts
+              where s = 1 or s <= len(toks) - 8)
+            select doc_id, chunk_id::int as chunk_id,
+                   array_to_string(toks[s:s+39], ' ') as chunk_text,
+                   least(40, len(toks) - s + 1)::int as n_tokens
+            from kept
+            order by doc_id, chunk_id
         """,
         "pack_token_shards": r"""
             with n as (select doc_id,

@@ -67,3 +67,28 @@ def test_bad_args(spark):
         pack_shards(d, "doc_id", "n_tokens", 0)
     with pytest.raises(ValueError):
         pack_shards(d, "doc_id", "n_tokens", 10, chunk_size=0)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from tinyetl_spark.operators.packing import chunk_documents
+    rows = [(1, " ".join(f"t{i}" for i in range(1, 14))),   # 13 tokens
+            (2, "a  b c"),                                  # < chunk_size
+            (3, ""), (4, "   ")]                            # no chunks
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_size=8, overlap=4) \
+        .orderBy("doc_id", "chunk_id").collect()
+    got = [(r.doc_id, r.chunk_id, r.text, r.n_tokens) for r in out]
+    assert got == [
+        (1, 1, "t1 t2 t3 t4 t5 t6 t7 t8", 8),
+        (1, 2, "t5 t6 t7 t8 t9 t10 t11 t12", 8),
+        (1, 3, "t9 t10 t11 t12 t13", 5),      # tail start 9 <= 13-4
+        (2, 1, "a b c", 3),                   # whitespace normalized
+    ]
+    # every token appears in at least one chunk; consecutive chunks
+    # share exactly `overlap` tokens where full-sized
+    toks1 = [c[2].split() for c in got if c[0] == 1]
+    assert set().union(*toks1) == {f"t{i}" for i in range(1, 14)}
+    assert toks1[0][-4:] == toks1[1][:4]
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)

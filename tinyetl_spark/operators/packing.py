@@ -62,3 +62,47 @@ def pack_shards(df: DataFrame, id_col: str, weight_col: str,
                    .withColumn("shard_id",
                                F.expr(f"_pre div {int(shard_weight)}"))
                    .drop("_chunk", "_off", "_pre"))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_size: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the pre-training prep step between curation and shard packing (one
+    training example per chunk; the overlap keeps context across chunk
+    boundaries).
+
+    Chunks start at token positions 1, 1+stride, ... (stride =
+    chunk_size - overlap); a start is kept iff it is the first OR sits
+    at most ``n - overlap`` (this covers every token with no chunk that
+    is a pure suffix of its predecessor — the last kept chunk always
+    reaches the end because start + chunk_size - 1 > n - 1 + stride -
+    stride = n - 1). Docs with empty text produce no chunks.
+
+    Returns (id, chunk_id 1-based, text, n_tokens) — pure Catalyst
+    (tokenize + sequence + filter + posexplode + slice), zero shuffle,
+    zero Python; fuses into the scan projection at any scale.
+    """
+    if overlap < 0 or overlap >= chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = df.select(
+        F.col(id_col), F.split(norm, " ").alias("_toks")
+    ).filter(norm != "")
+    n = F.size("_toks")
+    starts = F.filter(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda s: (s == 1) | (s <= n - F.lit(overlap)))
+    return (toks.select(
+                id_col,
+                F.posexplode(starts).alias("_i", "_s"), "_toks")
+                .select(
+                    F.col(id_col),
+                    (F.col("_i") + 1).alias("chunk_id"),
+                    F.array_join(
+                        F.slice("_toks", F.col("_s"), chunk_size), " ")
+                     .alias(text_col),
+                    F.least(F.lit(chunk_size), n - F.col("_s") + 1)
+                     .alias("n_tokens")))
