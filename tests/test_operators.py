@@ -936,3 +936,54 @@ def test_webmeta_extraction_and_anchor_aggregation(spark):
     assert by_dst["https://ex.org/b"]["n_links"] == 2
     assert by_dst["https://ex.org/b"]["anchor"] == "read more"
     assert by_dst["https://ex.org/c"]["rank"] == 1
+
+
+def test_dedup_ngram_spans_property_vs_python_reference(spark):
+    """Property check (hypothesis): random small corpora over a tiny
+    vocabulary (to force cross-doc window collisions) match a brute-force
+    pure-Python implementation of the window/cover rule token-for-token,
+    and the incremental pass over a random corpus/batch split matches the
+    global pass restricted to the batch. One Spark job per example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def py_reference(docs, k):
+        toks = {i: t.split() for i, t in docs.items()}
+        owners = {}
+        for i, ts in toks.items():
+            for p in range(len(ts) - k + 1):
+                owners.setdefault(tuple(ts[p:p + k]), set()).add(i)
+        out = {}
+        for i, ts in toks.items():
+            cov = set()
+            for p in range(len(ts) - k + 1):
+                if len(owners[tuple(ts[p:p + k])]) >= 2:
+                    cov.update(range(p, p + k))
+            kept = [t for j, t in enumerate(ts) if j not in cov]
+            out[i] = (" ".join(kept), len(ts), len(kept))
+        return out
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(doc, min_size=2, max_size=6),
+           k=st.integers(2, 4), split=st.integers(1, 5))
+    def run(texts, k, split):
+        docs = dict(enumerate(texts))
+        df = spark.createDataFrame(list(docs.items()),
+                                   "doc_id int, text string")
+        got = {r["doc_id"]: (r["text"], r["n_tokens_in"], r["n_tokens_kept"])
+               for r in D.dedup_ngram_spans(df, k=k).collect()}
+        assert got == py_reference(docs, k)
+        corpus = df.filter(F.col("doc_id") < split)
+        batch = df.filter(F.col("doc_id") >= split)
+        if batch.count() and corpus.count():
+            idx = D.build_ngram_span_index(corpus, k=k)
+            inc = {r["doc_id"]: r["text"] for r in
+                   D.dedup_ngram_spans_incremental(batch, idx, k=k)
+                    .collect()}
+            assert inc == {i: got[i][0] for i in docs if i >= split}
+
+    run()
