@@ -243,6 +243,82 @@ from ranked where rn = 1 and op <> 'delete'
 """
 
 
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-based snapshot diff (lake/diff.py): the net
+    insert/update/delete feed that transforms the mid-stream snapshot
+    (after 2 of 4 micro-batches) into the final state — the "CDC when
+    the CDF window expired" re-seed primitive. One shuffle, no join;
+    bucket-granular manifest pruning reads only buckets whose file sets
+    changed. A compaction commit lands between the endpoints, so the
+    row also proves maintenance commits are state-invisible to the
+    diff. Oracle: FULL OUTER JOIN of the two LWW prefix states —
+    event_seq is a unique event id, so equal seq ⇔ identical state."""
+    from tinyetl_spark.lake.diff import diff_snapshots
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_sdiff_")
+    try:
+        table = LakeTable.create(spark, f"{work}/pages", PAGES_SCHEMA,
+                                 key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        v_mid = None
+        for i in range(4):
+            batch = changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step))
+            merge_apply(table, batch, i)
+            if i == 1:
+                v_mid = table.current_version()
+        table.compact()       # maintenance noise between the endpoints
+        out = (diff_snapshots(table, v_mid)
+               .select("url", F.col("_change_type").alias("change_type"),
+                       "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SNAPSHOT_DIFF_ORACLE = r"""
+with changes as (
+  select event_id as event_seq,
+         'https://site.example/u/' || user_id as url,
+         ts as warc_ts,
+         case when event_type = 'error' then 'delete' else 'update' end as op,
+         case when event_type = 'error' then null else '<p>' || props || '</p>' end as html,
+         'en' as lang
+  from events
+), state_a as (
+  select url, event_seq, warc_ts, html, lang from (
+    select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+    from changes
+    where event_seq < 2 * ((((select max(event_id) from events) + 1) + 3) // 4))
+  where rn = 1 and op <> 'delete'
+), state_b as (
+  select url, event_seq, warc_ts, html, lang from (
+    select *, row_number() over (partition by url order by warc_ts desc, event_seq desc) as rn
+    from changes)
+  where rn = 1 and op <> 'delete'
+), diffed as (
+  select coalesce(b.url, a.url) as url,
+         case when a.url is null then 'insert'
+              when b.url is null then 'delete'
+              when a.event_seq is distinct from b.event_seq then 'update'
+         end as change_type,
+         case when b.url is null then a.event_seq else b.event_seq end as event_seq,
+         case when b.url is null then a.warc_ts else b.warc_ts end as warc_ts,
+         case when b.url is null then a.html else b.html end as html,
+         case when b.url is null then a.lang else b.lang end as lang
+  from state_a a full outer join state_b b on a.url = b.url
+)
+select url, change_type, event_seq, warc_ts,
+       case when html is null then null
+            else trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) end as text,
+       lang
+from diffed where change_type is not null
+"""
+
+
 def cdc_bootstrap_reconverge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-then-stream initial load (streaming/pipeline.py:
     bootstrap_snapshot — the Debezium snapshot contract the reference's
@@ -1952,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rescale_state": cdc_rescale_state,
         "cdc_quarantine_split": cdc_quarantine_split,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_bootstrap_reconverge": cdc_bootstrap_reconverge,
         "cdc_fanout_final_state": cdc_fanout_final_state,
         "cdc_dml_final_state": cdc_dml_final_state,
@@ -2033,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rescale_state": CDC_ORACLE,
         "cdc_quarantine_split": QUARANTINE_ORACLE,
         "cdc_time_travel": TIME_TRAVEL_ORACLE,
+        "cdc_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
         "cdc_bootstrap_reconverge": CDC_ORACLE,
         "cdc_fanout_final_state": FANOUT_ORACLE,
         "cdc_dml_final_state": DML_ORACLE,
