@@ -1784,6 +1784,23 @@ def ann_embedding_dups(spark, sf_dir):
                               dim=64, bits=16, bands=4)
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (operators/similarity.py:semantic_dedup): k-means-cell
+    the embedding space, drop within-cell near-dups keeping the member
+    farthest from the centroid. Corpus is dup-augmented (every 5th
+    vector repeated under id+1e6) so true semantic dups exist: the copy
+    shares its original's cell and cent_cos exactly, so the (cent_cos
+    ASC, id ASC) precedence deterministically drops the high id. Oracle
+    reproduces the seed-centroid assignment and the pairwise NOT-EXISTS
+    drop rule verbatim."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return (S.semantic_dedup(e.unionByName(dup), n_centroids=16,
+                             threshold=0.95)
+             .orderBy("vec_id"))
+
+
 def q_asof_last_click(spark, sf_dir):
     """AS-OF join: for each purchase event, the same user's most recent
     click at or before it (union + last_value composition — one shuffle,
@@ -2085,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_events": q_cube_events,
         "stream_windowed_counts": stream_windowed_counts,
         "ann_embedding_dups": ann_embedding_dups,
+        "dedup_semantic": dedup_semantic,
         "q_asof_last_click": q_asof_last_click,
         "q_range_join_clicks": q_range_join_clicks,
         "ann_ivf_topk": ann_ivf_topk,
@@ -3140,6 +3158,42 @@ def oracle_sql() -> dict[str, str]:
             select time_bucket(interval '1 hour', ts) as win_start, event_type,
                    count(*) as n
             from events group by 1, 2
+        """,
+        "dedup_semantic": """
+            with corpus as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000 as vec_id, embedding
+              from embeddings where vec_id % 5 = 0),
+            cents as (select vec_id as cid, embedding as cvec
+                      from corpus order by vec_id limit 16),
+            base as (select vec_id as doc, embedding as vec from corpus),
+            assign as (
+              select doc, vec, cid as cell, round(ccos, 9) as cent_cos
+              from (
+                select b.doc, b.vec, c.cid,
+                  (list_dot_product(b.vec::DOUBLE[], c.cvec::DOUBLE[]) /
+                   (sqrt(list_dot_product(b.vec::DOUBLE[], b.vec::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])))) as ccos,
+                  row_number() over (partition by b.doc order by
+                    (list_dot_product(b.vec::DOUBLE[], c.cvec::DOUBLE[]) /
+                     (sqrt(list_dot_product(b.vec::DOUBLE[], b.vec::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[])))) desc,
+                    c.cid asc) as rn
+                from base b, cents c) where rn = 1),
+            dropped as (
+              select distinct b.doc
+              from assign a join assign b on a.cell = b.cell
+               and (a.cent_cos < b.cent_cos
+                    or (a.cent_cos = b.cent_cos and a.doc < b.doc))
+              where (list_dot_product(a.vec::DOUBLE[], b.vec::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.vec::DOUBLE[], a.vec::DOUBLE[]))
+                      * sqrt(list_dot_product(b.vec::DOUBLE[], b.vec::DOUBLE[])))) >= 0.95)
+            select a.doc as vec_id, a.cell,
+                   round(a.cent_cos, 6) as cent_cos,
+                   (d.doc is null) as keep
+            from assign a left join dropped d on a.doc = d.doc
+            order by vec_id
         """,
         "ann_embedding_dups": """
             with corpus as (

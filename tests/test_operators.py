@@ -379,6 +379,51 @@ def test_ivf_kmeans_refinement_improves_recall(spark):
     assert a == b
 
 
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup keep rule on a hand-built two-cell corpus: within a cell
+    every near-dup group keeps exactly its farthest-from-centroid member;
+    exact copies tie on cent_cos and the lower id wins; vectors with no
+    near-dup keep unconditionally."""
+    rows = [
+        (0, [10.0, 0.0, 0.0, 0.0]),   # seed centroid A
+        (1, [0.0, 10.0, 0.0, 0.0]),   # seed centroid B
+        (2, [10.0, 1.0, 0.0, 0.0]),   # cell A dup family (cos to 0: .995)
+        (3, [10.0, 1.0, 0.0, 0.0]),   # exact copy of 2
+        (4, [10.0, 2.0, 0.0, 0.0]),   # cell A, farthest from centroid
+        (5, [0.0, 10.0, 0.0, 0.0]),   # exact copy of centroid B
+        (6, [0.0, 0.0, 10.0, 0.0]),   # orthogonal: no dup anywhere
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           S.semantic_dedup(df, n_centroids=2, threshold=0.95).collect()}
+    assert len(out) == 7                      # one row per input vector
+    assert {i for i, r in out.items() if r["keep"]} == {1, 4, 6}
+    # the cell-A dup family {0,2,3,4} kept its FARTHEST member (4)
+    assert out[4]["cent_cos"] < out[2]["cent_cos"] < out[0]["cent_cos"]
+    # exact copies tie on cent_cos; the lower id survives
+    assert out[1]["cent_cos"] == out[5]["cent_cos"]
+    assert out[1]["keep"] and not out[5]["keep"]
+
+
+def test_semantic_dedup_kmeans_path_and_no_false_drops(spark):
+    """Lloyd-refined path: same per-row contract (one output row per
+    vector), deterministic, and random vectors far below the threshold
+    are never dropped."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(df, n_centroids=4, threshold=0.99,
+                           kmeans_iters=2)
+    got = out.collect()
+    assert len(got) == 60
+    assert set(out.columns) == {"vec_id", "cell", "cent_cos", "keep"}
+    assert all(r["keep"] for r in got)
+    again = S.semantic_dedup(df, n_centroids=4, threshold=0.99,
+                             kmeans_iters=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_multimodal_resize_and_frame_sampling(spark):
     rows = [(1, "image", b"imgbytes-1"), (2, "video", b"vid-1"),
             (3, "image", None), (4, "audio", b"aud")]

@@ -201,6 +201,86 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95, dim: int = 64,
                 .select("doc_a", "doc_b", F.round(cos, 6).alias("cos")))
 
 
+def semantic_dedup(df: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   kmeans_iters: int = 0) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then WITHIN each cluster drop every
+    vector that has a near-duplicate (cosine >= ``threshold``) ranked
+    ahead of it — the survivor of each duplicate group is the member
+    FARTHEST from its cluster centroid (the paper's keep rule: extreme
+    points carry the cluster's diversity; centroid-hugging copies are
+    the redundant mass). The semantic member of the dedup family: exact/
+    MinHash/SimHash/span dedup catch textual copies, this catches
+    paraphrases and re-encodings that share no n-grams.
+
+    Drop rule is PAIRWISE, exactly the paper's greedy formulation (no
+    transitive closure): x is dropped iff some same-cell y with
+    cosine(x, y) >= threshold precedes x in (centroid-cosine ASC, id
+    ASC) order — so it is one self-join, and expressible as SQL NOT
+    EXISTS for the DuckDB oracle. Centroid-cosines are rounded to 9 dp
+    before they order anything, so partition-order float jitter cannot
+    flip precedence between engines.
+
+    Scale shape: centroids are a broadcast (seed = lowest-id vectors,
+    optionally refined by ``kmeans_iters`` distributed Lloyd steps —
+    deterministic either way); pairs form ONLY inside a cell, so the
+    self-join shuffles once on cell id and costs O(sum(cell^2)), never
+    corpus all-pairs. ``n_centroids`` must scale with the corpus (the
+    paper runs 50k clusters over LAION keeping cells ~1k docs); the
+    assignment itself is embarrassingly parallel.
+
+    Output: one row per input vector — (id, cell, cent_cos, keep)."""
+    from tinyetl_spark.operators.dedup import _persist
+    cents = (df.orderBy(id_col).limit(n_centroids)
+               .select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).alias("cvec")))
+    base = _spread(df).select(F.col(id_col).alias("doc"),
+                              F.col(vec_col).alias("vec"))
+    if kmeans_iters > 0:
+        spark = df.sparkSession
+        kbase = base.select(F.col("doc").alias("neighbor_id"),
+                            F.col("vec").alias("nvec")).persist()
+        for _ in range(kmeans_iters):
+            # materialize each step (collect is n_centroids rows) — a
+            # lazy loop would stack k joins into one unanalyzable plan
+            cents = spark.createDataFrame(
+                _lloyd_iter(kbase, cents).collect(),
+                "cid long, cvec array<double>")
+        kbase.unpersist()
+    ccos = cosine(F.col("vec"), F.col("cvec"))
+    w_assign = Window.partitionBy("doc").orderBy(F.desc("_ccos"),
+                                                 F.asc("cid"))
+    # persisted: feeds both sides of the in-cell self-join AND the final
+    # keep-flag projection; registered so release_caches() frees it
+    assigned = _persist(
+        base.join(F.broadcast(cents))
+            .withColumn("_ccos", ccos)
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+            .select("doc", "vec", F.col("cid").alias("cell"),
+                    F.round(F.col("_ccos"), 9).alias("cent_cos")))
+    a = assigned.select(F.col("doc").alias("doc_a"),
+                        F.col("vec").alias("vec_a"), "cell",
+                        F.col("cent_cos").alias("cc_a"))
+    b = assigned.select(F.col("doc").alias("doc_b"),
+                        F.col("vec").alias("vec_b"), "cell",
+                        F.col("cent_cos").alias("cc_b"))
+    precedes = ((F.col("cc_a") < F.col("cc_b"))
+                | ((F.col("cc_a") == F.col("cc_b"))
+                   & (F.col("doc_a") < F.col("doc_b"))))
+    dropped = (a.join(b, "cell").where(precedes)
+                .where(cosine(F.col("vec_a"), F.col("vec_b"))
+                       >= F.lit(threshold))
+                .select(F.col("doc_b").alias("doc")).distinct()
+                .withColumn("_drop", F.lit(True)))
+    return (assigned.join(dropped, "doc", "left")
+            .select(F.col("doc").alias(id_col), "cell",
+                    F.round("cent_cos", 6).alias("cent_cos"),
+                    F.col("_drop").isNull().alias("keep")))
+
+
 def _lloyd_iter(base: DataFrame, cents: DataFrame) -> DataFrame:
     """One distributed Lloyd (k-means) step: assign every corpus vector
     to its nearest centroid (broadcast centroids — corpus never funnels),
