@@ -1528,6 +1528,23 @@ def sample_topk_per_lang(spark, sf_dir):
               .orderBy("lang", "sample_rank"))
 
 
+def sample_dsir_topk(spark, sf_dir):
+    """DSIR importance resampling (round 5, operators/sampling.py:
+    dsir_resample — Xie et al. NeurIPS 2023): pick the 100 docs most
+    like the target slice (en docs with doc_id%5=0) by hashed
+    unigram+bigram log-likelihood-ratio weights + deterministic
+    Gumbel-top-k. Both count models reduce map-side to <=512 rows and
+    broadcast; the corpus's only shuffle is the partial-aggregated
+    per-doc weight sum; selection plans as TakeOrderedAndProject.
+    Weights and keys are 1e-6 fixed-point BIGINTs so the oracle
+    replays the selection bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return (SA.dsir_resample(d, target, k=100, n_buckets=512, seed=7)
+              .select("doc_id", "lang", "logw_fp", "gumbel_key_fp")
+              .orderBy("doc_id"))
+
+
 def pack_token_shards(spark, sf_dir):
     """Token-budget shard packing (round 5, operators/packing.py):
     shard_id = floor(exclusive running token sum / budget) over the
@@ -2095,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "sample_training_mix": sample_training_mix,
         "sample_topk_per_lang": sample_topk_per_lang,
+        "sample_dsir_topk": sample_dsir_topk,
         "pack_token_shards": pack_token_shards,
         "pack_doc_chunks": pack_doc_chunks,
         "q_string_funcs": q_string_funcs,
@@ -3536,6 +3554,52 @@ def oracle_sql() -> dict[str, str]:
             select lang, sample_rank, doc_id from r
             where sample_rank <= 20
             order by lang, sample_rank
+        """,
+        "sample_dsir_topk": r"""
+            with n as (select doc_id, lang,
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                           as nt
+                       from documents),
+            w as (select doc_id, lang,
+                         string_split(nt, ' ') as ws from n),
+            grams as (
+              select doc_id, lang,
+                (case when len(ws) >= 1
+                      then [md5(array_to_string(ws[i:i], ' '))
+                            for i in generate_series(1, len(ws))]
+                      else []::varchar[] end)
+                || (case when len(ws) >= 2
+                      then [md5(array_to_string(ws[i:i+1], ' '))
+                            for i in generate_series(1, len(ws)-1)]
+                      else []::varchar[] end) as gs
+              from w),
+            hb as (select doc_id, lang,
+                     ('0x' || substr(g, 1, 8))::bigint % 512 as h
+                   from (select doc_id, lang, unnest(gs) as g from grams)),
+            qc as (select h, count(*)::bigint as c from hb group by h),
+            pc as (select h, count(*)::bigint as c from hb
+                   where lang = 'en' and doc_id % 5 = 0 group by h),
+            tot as (select (select coalesce(sum(c), 0) from pc) as pt,
+                           (select coalesce(sum(c), 0) from qc) as qt),
+            lam as (select qc.h,
+                      cast(round((ln((coalesce(pc.c, 0) + 1.0) / (pt + 512))
+                                  - ln((qc.c + 1.0) / (qt + 512)))
+                                 * 1000000, 0) as bigint) as lam_fp
+                    from qc left join pc using (h), tot),
+            dw as (select hb.doc_id,
+                     sum(coalesce(lam.lam_fp, 0))::bigint as logw_fp
+                   from hb left join lam using (h) group by hb.doc_id),
+            wt as (select d.doc_id, d.lang,
+                     coalesce(dw.logw_fp, 0)::bigint as logw_fp
+                   from documents d left join dw using (doc_id)),
+            keyed as (select *,
+                logw_fp + cast(round(-ln(-ln(
+                    (('0x' || substr(md5(doc_id || ':7'), 1, 8))::bigint
+                     + 0.5) / 4294967296.0)) * 1000000, 0) as bigint)
+                  as gumbel_key_fp
+              from wt)
+            select doc_id, lang, logw_fp, gumbel_key_fp from keyed
+            order by gumbel_key_fp desc, doc_id limit 100
         """,
         "pack_doc_chunks": r"""
             with norm as (

@@ -101,3 +101,69 @@ def test_bad_args(spark):
         SA.bernoulli_sample(d, "doc_id", 1.5)
     with pytest.raises(ValueError):
         SA.topk_per_stratum(d, "lang", "doc_id", 0)
+
+
+# --- DSIR importance resampling ---------------------------------------------
+
+def _dsir_corpus(spark):
+    """60 'wiki-like' docs (share the target's vocabulary) + 140 'spam'
+    docs, plus a tiny target drawn from the wiki vocabulary."""
+    wiki_words = ["the", "history", "of", "science", "article", "cited"]
+    spam_words = ["buy", "cheap", "pills", "now", "click", "winner"]
+    rows = []
+    for i in range(200):
+        words = wiki_words if i < 60 else spam_words
+        text = " ".join(words[(i + j) % len(words)] for j in range(12))
+        rows.append((i, text))
+    corpus = spark.createDataFrame(rows, "doc_id: long, text: string")
+    trows = [(1000 + i,
+              " ".join(wiki_words[(i + j) % len(wiki_words)]
+                       for j in range(12))) for i in range(10)]
+    target = spark.createDataFrame(trows, "doc_id: long, text: string")
+    return corpus, target
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    corpus, target = _dsir_corpus(spark)
+    w = {r["doc_id"]: r["logw_fp"] for r in
+         SA.dsir_weights(corpus, target, n_buckets=256).collect()}
+    assert len(w) == 200
+    wiki = [w[i] for i in range(60)]
+    spam = [w[i] for i in range(60, 200)]
+    # every target-like doc outweighs every spam doc
+    assert min(wiki) > max(spam)
+
+
+def test_dsir_resample_prefers_target_like_and_is_exact_k(spark):
+    corpus, target = _dsir_corpus(spark)
+    got = SA.dsir_resample(corpus, target, k=50, n_buckets=256,
+                           seed=3).collect()
+    ids = {r["doc_id"] for r in got}
+    assert len(got) == 50 and len(ids) == 50
+    # Gumbel noise spans a few units; the wiki/spam weight gap is huge,
+    # so the selection should be (almost) entirely wiki docs.
+    assert sum(1 for i in ids if i < 60) >= 45
+
+
+def test_dsir_partition_and_seed_behavior(spark):
+    corpus, target = _dsir_corpus(spark)
+    a = sorted(r["doc_id"] for r in
+               SA.dsir_resample(corpus, target, 30, n_buckets=256,
+                                seed=3).collect())
+    b = sorted(r["doc_id"] for r in
+               SA.dsir_resample(corpus.repartition(7), target, 30,
+                                n_buckets=256, seed=3).collect())
+    assert a == b  # partition-independent
+    c = sorted(r["doc_id"] for r in
+               SA.dsir_resample(corpus, target, 30, n_buckets=256,
+                                seed=4).collect())
+    assert a != c  # seed matters (noise re-drawn)
+
+
+def test_dsir_empty_target_and_bad_k(spark):
+    corpus, target = _dsir_corpus(spark)
+    empty = target.filter(F.col("doc_id") < 0)
+    out = SA.dsir_resample(corpus, empty, 5, n_buckets=256)
+    assert out.count() == 5  # degenerate but defined: uniform-ish prior
+    with pytest.raises(ValueError):
+        SA.dsir_resample(corpus, target, 0)

@@ -95,3 +95,122 @@ def topk_per_stratum(df: DataFrame, strata_col: str, id_col: str, k: int,
     return (pruned.withColumn("sample_rank", F.row_number().over(final))
                   .filter(F.col("sample_rank") <= k)
                   .drop("_b"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+#
+# Select the k corpus docs that look most like a (small) target corpus:
+# fit hashed bag-of-ngrams models p̂ (target) and q̂ (raw corpus), weight
+# each doc by log p̂(x)/q̂(x), then draw without replacement via the
+# Gumbel-top-k trick.  Everything is deterministic and fixed-point so a
+# replay — or the DuckDB oracle — reproduces the selection bit-for-bit:
+#
+# - feature = first-8-hex-of-md5(word n-gram) mod n_buckets (hashed
+#   unigrams+bigrams by default, the paper's feature space);
+# - per-bucket log-ratio λ[h] = ln((p_c+1)/(p_tot+B)) − ln((q_c+1)/(q_tot+B))
+#   (Laplace smoothing), stored ×1e6 rounded as BIGINT;
+# - per-doc weight = Σ λ_fp over its gram stream — exact integer sum,
+#   aggregation-order-independent;
+# - Gumbel noise g_i = −ln(−ln(u_i)) with u_i from the SAME md5 hash
+#   bucket as bernoulli_sample (pure function of (id, seed)), rounded
+#   into the same 1e-6 fixed-point grid, so the top-k key is a BIGINT.
+#
+# Scale shape (10^10 docs): both count models reduce map-side to ≤ B
+# rows (B ~ 10^4-10^5) — the λ table is broadcast, the corpus never
+# shuffles its grams anywhere except the partial-aggregated per-doc sum
+# (O(docs) shuffle), and the final selection is orderBy+limit =
+# TakeOrderedAndProject (per-partition top-k, merge on driver).  The
+# target corpus is small by construction (it is the thing you wish you
+# had more of).  No reference equivalent (SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+
+from .decontam import ngram_hashes  # noqa: E402  (md5 word n-grams)
+
+_LAM_FP = 1_000_000  # fixed-point grid for log-ratio weights
+
+
+def gram_buckets(text_col: Column, n_buckets: int,
+                 ns: tuple[int, ...] = (1, 2)) -> Column:
+    """array<long> of hashed n-gram feature buckets for every n in
+    ``ns``: first 8 hex chars of md5(gram) read as uint32, mod
+    n_buckets. Pure Catalyst; DuckDB replays it verbatim."""
+    arrs = [ngram_hashes(text_col, n) for n in ns]
+    allg = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    return F.transform(
+        allg,
+        lambda g: F.pmod(F.conv(F.substring(g, 1, 8), 16, 10).cast("long"),
+                         F.lit(n_buckets)))
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int,
+                   ns: tuple[int, ...]) -> DataFrame:
+    """(h, c): corpus-wide gram-bucket counts. Map-side combine shrinks
+    every partition to ≤ n_buckets rows before the shuffle."""
+    return (df.select(F.explode(gram_buckets(F.col(text_col), n_buckets,
+                                             ns)).alias("h"))
+              .groupBy("h").agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_log_ratios(corpus: DataFrame, target: DataFrame,
+                    text_col: str = "text", n_buckets: int = 4096,
+                    ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """The broadcastable λ table: (h, lam_fp) for every bucket observed
+    in the corpus (buckets only the target hits can never be touched by
+    a corpus doc, so a left join from the corpus side is complete)."""
+    p = _bucket_counts(target, text_col, n_buckets, ns) \
+        .withColumnRenamed("c", "pc")
+    q = _bucket_counts(corpus, text_col, n_buckets, ns) \
+        .withColumnRenamed("c", "qc")
+    pt = p.agg(F.coalesce(F.sum("pc"), F.lit(0)).alias("pt"))
+    qt = q.agg(F.coalesce(F.sum("qc"), F.lit(0)).alias("qt"))
+    b = F.lit(float(n_buckets))
+    lam = (F.log((F.coalesce(F.col("pc"), F.lit(0)) + F.lit(1.0))
+                 / (F.col("pt") + b))
+           - F.log((F.col("qc") + F.lit(1.0)) / (F.col("qt") + b)))
+    return (q.join(p, "h", "left_outer")
+             .crossJoin(F.broadcast(pt)).crossJoin(F.broadcast(qt))
+             .select("h", F.round(lam * _LAM_FP, 0).cast("long")
+                           .alias("lam_fp")))
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 4096,
+                 ns: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """corpus + ``logw_fp`` (BIGINT, ×1e6): the DSIR importance
+    log-weight Σ_g λ[h(g)]. Docs with no grams in-vocab score 0."""
+    lam = dsir_log_ratios(corpus, target, text_col, n_buckets, ns)
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(gram_buckets(F.col(text_col), n_buckets, ns)).alias("h"))
+    w = (grams.join(F.broadcast(lam), "h", "left_outer")
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce(F.col("lam_fp"), F.lit(0)))
+                    .alias("logw_fp")))
+    return (corpus.join(w, id_col, "left_outer")
+                  .withColumn("logw_fp",
+                              F.coalesce(F.col("logw_fp"), F.lit(0))
+                               .cast("long")))
+
+
+def dsir_resample(corpus: DataFrame, target: DataFrame, k: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_buckets: int = 4096, ns: tuple[int, ...] = (1, 2),
+                  seed: int = 0) -> DataFrame:
+    """Gumbel-top-k importance resampling: key_i = logw_i + g_i with
+    deterministic per-id Gumbel noise, take the k largest. Equivalent
+    to sampling k docs without replacement ∝ exp(logw) (Vieira 2014),
+    but a pure function of (corpus, target, k, seed). Adds
+    ``logw_fp`` and ``gumbel_key_fp``; plans as TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_weights(corpus, target, text_col, id_col, n_buckets, ns)
+    u = (hash_bucket(F.col(id_col), seed) + F.lit(0.5)) \
+        / F.lit(float(_BUCKETS))
+    g = -F.log(-F.log(u))
+    key = (F.col("logw_fp")
+           + F.round(g * _LAM_FP, 0).cast("long")).alias("gumbel_key_fp")
+    return (w.withColumn("gumbel_key_fp", key)
+             .orderBy(F.col("gumbel_key_fp").desc(), F.col(id_col))
+             .limit(k))

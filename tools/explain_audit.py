@@ -26,7 +26,8 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "sample_topk_per_lang", "pack_token_shards",
          "text_gopher_quality", "text_decontaminate",
          "text_bm25_topk", "text_lm_score", "dedup_ngram_spans",
-         "dedup_spans_incremental", "pack_doc_chunks", "dedup_semantic"]
+         "dedup_spans_incremental", "pack_doc_chunks", "dedup_semantic",
+         "sample_dsir_topk"]
 
 
 def audit(name, df):
