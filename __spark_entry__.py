@@ -1528,6 +1528,25 @@ def sample_topk_per_lang(spark, sf_dir):
               .orderBy("lang", "sample_rank"))
 
 
+def decontam_semantic(spark, sf_dir):
+    """Embedding-space eval-set decontamination (round 5,
+    operators/decontam.py:semantic_contaminated): flag every corpus
+    embedding within cosine 0.35 of ANY benchmark embedding (the
+    paraphrase-leakage complement to 13-gram decontamination). The
+    benchmark (vec_id%23=0, 22 rows — tiny vs corpus by construction)
+    packs into ONE broadcast row of structs; max-cos + argmax are a
+    higher-order projection fused into the corpus scan — zero shuffle,
+    zero explode, map-only at 10^10 docs. Cosines are the same
+    fixed-order double fold the ANN family uses, so DuckDB's
+    list_dot_product replays every value bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 23 == 0)
+    return (DCON.semantic_contaminated(e, bench, 0.35)
+                .select("vec_id", F.round("max_cos", 6).alias("max_cos"),
+                        "nearest_bench_id", "contaminated")
+                .orderBy("vec_id"))
+
+
 def sample_dsir_topk(spark, sf_dir):
     """DSIR importance resampling (round 5, operators/sampling.py:
     dsir_resample — Xie et al. NeurIPS 2023): pick the 100 docs most
@@ -2113,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_training_mix": sample_training_mix,
         "sample_topk_per_lang": sample_topk_per_lang,
         "sample_dsir_topk": sample_dsir_topk,
+        "decontam_semantic": decontam_semantic,
         "pack_token_shards": pack_token_shards,
         "pack_doc_chunks": pack_doc_chunks,
         "q_string_funcs": q_string_funcs,
@@ -3600,6 +3620,26 @@ def oracle_sql() -> dict[str, str]:
               from wt)
             select doc_id, lang, logw_fp, gumbel_key_fp from keyed
             order by gumbel_key_fp desc, doc_id limit 100
+        """,
+        "decontam_semantic": """
+            with b as (select vec_id as bid, embedding as bvec
+                       from embeddings where vec_id % 23 = 0),
+            sc as (select e.vec_id, b.bid,
+                     list_dot_product(e.embedding::DOUBLE[],
+                                      b.bvec::DOUBLE[]) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.bvec::DOUBLE[],
+                                              b.bvec::DOUBLE[]))) as cos
+                   from embeddings e, b where e.vec_id <> b.bid),
+            r as (select vec_id, bid, cos,
+                    row_number() over (partition by vec_id
+                                       order by cos desc, bid asc) as rn
+                  from sc)
+            select vec_id, round(cos, 6) as max_cos,
+                   bid as nearest_bench_id,
+                   (cos >= 0.35) as contaminated
+            from r where rn = 1 order by vec_id
         """,
         "pack_doc_chunks": r"""
             with norm as (

@@ -217,3 +217,60 @@ def test_boilerplate_ngrams_ranks_by_document_frequency(spark):
     # deterministic tie-break: df desc then gram asc
     dfs = [r[1] for r in ranked]
     assert dfs == sorted(dfs, reverse=True)
+
+
+# ------------------------------------------- semantic decontamination
+
+def _emb(spark):
+    """Corpus of unit-ish vectors: ids 0-3 near e1 (paraphrase cluster
+    around bench doc 100), ids 4-7 near e2 (clean), bench = {100, 101}
+    where 101 is also IN the corpus (self-pair exclusion path)."""
+    rows = [
+        (0, [1.0, 0.05, 0.0]), (1, [0.98, 0.1, 0.0]),
+        (2, [1.0, 0.0, 0.08]), (3, [0.9, 0.2, 0.0]),
+        (4, [0.0, 1.0, 0.0]), (5, [0.05, 0.95, 0.1]),
+        (6, [0.0, 0.9, 0.3]), (7, [0.1, 0.0, 1.0]),
+        (101, [0.0, 0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+        "vec_id: long, embedding: array<double>")
+    return corpus, bench
+
+
+def test_semantic_contaminated_flags_near_bench(spark):
+    corpus, bench = _emb(spark)
+    out = {r["vec_id"]: (r["contaminated"], r["nearest_bench_id"],
+                         r["max_cos"])
+           for r in DC.semantic_contaminated(corpus, bench, 0.9).collect()}
+    assert len(out) == 9
+    for i in (0, 1, 2, 3):          # paraphrase cluster → flagged vs 100
+        assert out[i][0] and out[i][1] == 100
+    for i in (4, 5, 6):             # clean cluster
+        assert not out[i][0]
+    # id 7 is cos≈0.99 to bench 101 → flagged by the OTHER bench doc
+    assert out[7][0] and out[7][1] == 101
+    # id 101 is IN the bench: its self-pair is excluded, nearest is 100
+    assert out[101][1] == 100 and not out[101][0]
+
+
+def test_semantic_contaminated_tie_breaks_to_smallest_bid(spark):
+    corpus = spark.createDataFrame([(0, [1.0, 0.0])],
+                                   "vec_id: long, embedding: array<double>")
+    bench = spark.createDataFrame(
+        [(9, [2.0, 0.0]), (5, [3.0, 0.0])],  # both cos=1.0 exactly
+        "vec_id: long, embedding: array<double>")
+    r = DC.semantic_contaminated(corpus, bench, 0.5).collect()[0]
+    assert r["nearest_bench_id"] == 5 and r["contaminated"]
+
+
+def test_semantic_contaminated_plan_is_map_only(spark):
+    """The corpus side must not shuffle: bench packs to one broadcast
+    row and the scoring is a projection."""
+    corpus, bench = _emb(spark)
+    plan = DC.semantic_contaminated(corpus.repartition(4), bench, 0.9) \
+             ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan  # no corpus shuffle

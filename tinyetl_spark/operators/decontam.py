@@ -93,3 +93,56 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     hits = F.broadcast(contaminated_ids(docs, bench, text_col, id_col, n,
                                         broadcast_bench))
     return docs.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: embedding-space eval-set leakage.
+#
+# n-gram decontamination misses paraphrased leakage (the benchmark
+# question re-worded); the standard complement (e.g. the Llama-era
+# "semantic dedup vs eval" hygiene pass) flags every corpus doc whose
+# embedding is within cosine τ of ANY benchmark embedding.
+#
+# Scale shape: the benchmark is tiny (10^4-10^6 rows) next to the corpus
+# (10^10), so the WHOLE benchmark packs into ONE broadcast row of
+# (id, vec) structs and the max-cosine-vs-bench per corpus doc is a pure
+# higher-order projection fused into the corpus scan — zero shuffle,
+# zero explode, no join fan-out, linear in the corpus.  Cosines use the
+# same fixed-order double fold as operators/similarity.py so the DuckDB
+# oracle reproduces every value bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as hof  # noqa: E402  (HOF aliases)
+
+from .similarity import cosine  # noqa: E402
+
+
+def semantic_contaminated(corpus: DataFrame, bench: DataFrame,
+                          threshold: float,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """corpus + (``max_cos``, ``nearest_bench_id``, ``contaminated``):
+    the max cosine against the benchmark set (self-pairs excluded, so a
+    benchmark drawn from the corpus doesn't trivially flag itself),
+    the bench id achieving it (smallest id on exact ties), and the
+    ``max_cos >= threshold`` flag. Map-only at any corpus size."""
+    packed = bench.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("bid"),
+                                    F.col(vec_col).alias("bvec"))))
+         .alias("_bench"))
+    j = corpus.crossJoin(F.broadcast(packed))
+    others = F.filter(F.col("_bench"),
+                      lambda b: b["bid"] != F.col(id_col))
+    # struct max = (max cos, then max(-bid) = min bid): deterministic
+    # argmax without an explode or a window.
+    best = F.array_max(hof.transform(
+        others,
+        lambda b: F.struct(cosine(F.col(vec_col), b["bvec"]).alias("cos"),
+                           (-b["bid"]).alias("nbid"))))
+    return (j.withColumn("max_cos", best["cos"])
+             .withColumn("nearest_bench_id", -best["nbid"])
+             .withColumn("contaminated",
+                         F.coalesce(F.col("max_cos") >= F.lit(threshold),
+                                    F.lit(False)))
+             .drop("_bench"))
