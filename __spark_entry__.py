@@ -1528,6 +1528,20 @@ def sample_topk_per_lang(spark, sf_dir):
               .orderBy("lang", "sample_rank"))
 
 
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-α mix rebalancing (round 5, operators/sampling.py:
+    temperature_sample — the XLM-R/UNIMAX multilingual downsampling):
+    α=0.5 flattens the language mix; rates come from the corpus's own
+    counts in-plan (strata-sized groupBy, broadcast back), thresholds
+    are floor(r·2^32) BIGINTs so rows compare longs. Head language
+    downsamples, rarest keeps rate 1. Map-only over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return (SA.temperature_sample(d, "lang", "doc_id", 0.5, seed=2)
+              .select("doc_id", "lang", "thr",
+                      SA.hash_bucket(F.col("doc_id"), 2).alias("h32"))
+              .orderBy("doc_id"))
+
+
 def decontam_semantic(spark, sf_dir):
     """Embedding-space eval-set decontamination (round 5,
     operators/decontam.py:semantic_contaminated): flag every corpus
@@ -2133,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topk_per_lang": sample_topk_per_lang,
         "sample_dsir_topk": sample_dsir_topk,
         "decontam_semantic": decontam_semantic,
+        "sample_temperature_mix": sample_temperature_mix,
         "pack_token_shards": pack_token_shards,
         "pack_doc_chunks": pack_doc_chunks,
         "q_string_funcs": q_string_funcs,
@@ -3620,6 +3635,21 @@ def oracle_sql() -> dict[str, str]:
               from wt)
             select doc_id, lang, logw_fp, gumbel_key_fp from keyed
             order by gumbel_key_fp desc, doc_id limit 100
+        """,
+        "sample_temperature_mix": """
+            with cnt as (select lang, count(*)::bigint as n
+                         from documents group by lang),
+            m as (select max(pow(n::double, -0.5)) as mx from cnt),
+            thr as (select lang,
+                      cast(floor(pow(n::double, -0.5) / mx
+                                 * 4294967296.0) as bigint) as thr
+                    from cnt, m),
+            h as (select d.doc_id, d.lang, t.thr,
+                    ('0x' || substr(md5(d.doc_id || ':2'), 1, 8))::bigint
+                      as h32
+                  from documents d join thr t using (lang))
+            select doc_id, lang, thr, h32 from h
+            where h32 < thr order by doc_id
         """,
         "decontam_semantic": """
             with b as (select vec_id as bid, embedding as bvec

@@ -167,3 +167,46 @@ def test_dsir_empty_target_and_bad_k(spark):
     assert out.count() == 5  # degenerate but defined: uniform-ish prior
     with pytest.raises(ValueError):
         SA.dsir_resample(corpus, target, 0)
+
+
+# --- temperature mix rebalancing ---------------------------------------------
+
+def _skewed(spark):
+    rows = ([(i, "en") for i in range(300)]
+            + [(1000 + i, "de") for i in range(80)]
+            + [(2000 + i, "sw") for i in range(20)])
+    return spark.createDataFrame(rows, "doc_id: long, lang: string")
+
+
+def test_temperature_thresholds_rarest_keeps_all(spark):
+    d = _skewed(spark)
+    thr = {r["lang"]: r["thr"] for r in
+           SA.temperature_thresholds(d, "lang", 0.5).collect()}
+    assert thr["sw"] == 1 << 32            # rarest: rate 1
+    assert thr["en"] < thr["de"] < thr["sw"]
+    # en rate should be sqrt(20/300) of sw's
+    assert abs(thr["en"] / (1 << 32) - (20 / 300) ** 0.5) < 1e-6
+
+
+def test_temperature_sample_flattens_mix(spark):
+    d = _skewed(spark)
+    from collections import Counter
+    got = Counter(r["lang"] for r in
+                  SA.temperature_sample(d, "lang", "doc_id", 0.5).collect())
+    assert got["sw"] == 20                 # kept whole
+    # expected en ≈ 300·sqrt(20/300) ≈ 77, de ≈ 80·sqrt(20/80) = 40
+    assert 55 <= got["en"] <= 100 and 25 <= got["de"] <= 55
+    # alpha=1 keeps everything
+    assert SA.temperature_sample(d, "lang", "doc_id", 1.0).count() == 400
+
+
+def test_temperature_partition_invariant_and_bad_alpha(spark):
+    d = _skewed(spark)
+    a = sorted(r["doc_id"] for r in
+               SA.temperature_sample(d, "lang", "doc_id", 0.3).collect())
+    b = sorted(r["doc_id"] for r in
+               SA.temperature_sample(d.repartition(7), "lang", "doc_id",
+                                     0.3).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        SA.temperature_sample(d, "lang", "doc_id", 0.0)

@@ -214,3 +214,48 @@ def dsir_resample(corpus: DataFrame, target: DataFrame, k: int,
     return (w.withColumn("gumbel_key_fp", key)
              .orderBy(F.col("gumbel_key_fp").desc(), F.col(id_col))
              .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mix rebalancing (XLM-R / mT5 / UNIMAX style):
+# resample strata (languages, sources) toward q_s ∝ p_s^α.  α=1 keeps
+# the natural mix, α→0 flattens it.  Bernoulli realization: the stratum
+# whose share must GROW the most gets rate 1 (can't upsample without
+# replacement) and every other stratum downsamples proportionally —
+# r_s = n_s^(α-1) / max_t n_t^(α-1), the standard head-language
+# downsampling used on Common-Crawl-scale multilingual corpora.
+#
+# The rates are computed IN the plan from the corpus's own counts (one
+# map-side-combined groupBy → a strata-sized table, broadcast back), so
+# the operator stays a two-job map-only pipeline at any scale and the
+# whole decision — counts, rates, thresholds, per-row hash — is replay-
+# stable and engine-reproducible (the threshold is floor(r·2^32) as
+# BIGINT; rows compare longs, never floats).
+# ---------------------------------------------------------------------------
+
+
+def temperature_thresholds(df: DataFrame, strata_col: str,
+                           alpha: float) -> DataFrame:
+    """(stratum, n, thr): per-stratum integer keep-threshold realizing
+    the temperature-α mix. thr = floor(n^(α-1) / max_t n_t^(α-1) · 2^32)
+    — the rarest stratum (for α<1) keeps everything."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    cnt = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    u = F.pow(F.col("n").cast("double"), F.lit(alpha - 1.0))
+    m = cnt.agg(F.max(F.pow(F.col("n").cast("double"),
+                            F.lit(alpha - 1.0))).alias("_m"))
+    return (cnt.crossJoin(F.broadcast(m))
+               .select(strata_col, "n",
+                       F.floor(u / F.col("_m") * _BUCKETS).cast("long")
+                        .alias("thr")))
+
+
+def temperature_sample(df: DataFrame, strata_col: str, id_col: str,
+                       alpha: float, seed: int = 0) -> DataFrame:
+    """Keep each row iff hash_bucket(id) < its stratum's temperature
+    threshold. Adds ``thr``; map-only over the corpus (the threshold
+    table is strata-sized and broadcast)."""
+    thr = temperature_thresholds(df, strata_col, alpha).drop("n")
+    return (df.join(F.broadcast(thr), strata_col)
+              .filter(hash_bucket(F.col(id_col), seed) < F.col("thr")))

@@ -27,7 +27,7 @@ AUDIT = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
          "text_gopher_quality", "text_decontaminate",
          "text_bm25_topk", "text_lm_score", "dedup_ngram_spans",
          "dedup_spans_incremental", "pack_doc_chunks", "dedup_semantic",
-         "sample_dsir_topk", "decontam_semantic"]
+         "sample_dsir_topk", "decontam_semantic", "sample_temperature_mix"]
 
 
 def audit(name, df):
