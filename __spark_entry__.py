@@ -742,6 +742,53 @@ def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("value", 6).alias("value")))
 
 
+def cdc_debezium_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium wire-format adapter (sources/debezium.py): the events
+    table becomes change events, is serialized to real Debezium JSON
+    envelopes (to_json struct building — base64 BYTES, epoch-µs
+    MicroTimestamp, before-image deletes, source.lsn), then parsed back
+    through the ingest adapter. The oracle states the expected OUTPUT
+    independently from parquet, so a green row proves the full encode +
+    parse mapping: op codes, WAL-position seq, µs timestamps, binary
+    base64 roundtrip, delete image routing. Pure Catalyst — the parse
+    projection fuses into the scan (asserted Python-free in pytest)."""
+    from tinyetl_spark.sources.debezium import parse_debezium, to_debezium
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.concat(F.lit("https://site.example/u/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+         .when(F.col("event_id") % 3 == 1, F.lit("update"))
+         .otherwise(F.lit("insert")).alias("op"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+         .otherwise(F.encode(F.concat(F.lit("<p>"), F.col("props"),
+                                      F.lit("</p>")), "UTF-8")).alias("html"),
+        F.lit("en").alias("lang"))
+    parsed = parse_debezium(to_debezium(changes))
+    return (parsed.select(
+                "event_seq", "url", "warc_ts", "op",
+                F.decode(F.col("html"), "UTF-8").alias("html_text"),
+                "lang")
+            .orderBy("event_seq"))
+
+
+DEBEZIUM_ORACLE = """
+select event_id as event_seq,
+       'https://site.example/u/' || cast(user_id as varchar) as url,
+       ts as warc_ts,
+       case when event_type = 'error' then 'delete'
+            when event_id % 3 = 1 then 'update'
+            else 'insert' end as op,
+       case when event_type = 'error' then null
+            else '<p>' || props || '</p>' end as html_text,
+       'en' as lang
+from events
+order by event_seq
+"""
+
+
 # ------------------------------------------------------------- relational
 
 def q1_pricing_summary(spark, sf_dir):
@@ -2101,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml_final_state": cdc_dml_final_state,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_matview_domain_stats": cdc_matview_domain_stats,
+        "cdc_debezium_adapter": cdc_debezium_adapter,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2187,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dml_final_state": DML_ORACLE,
         "cdc_point_lookup": LOOKUP_ORACLE,
         "cdc_matview_domain_stats": MATVIEW_ORACLE,
+        "cdc_debezium_adapter": DEBEZIUM_ORACLE,
         "cdc_lww_latest": """
             with ranked as (
               select user_id, event_id, ts, event_type, round(value, 6) as value,

@@ -1,0 +1,139 @@
+"""Debezium envelope adapter: wire-format parse, op mapping, tombstone
+handling, roundtrip identity, and the streaming landing-zone path into
+the fenced MERGE."""
+
+import datetime
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from tinyetl_spark.lake import LakeTable
+from tinyetl_spark.schema import EVENTS_SCHEMA, PAGES_SCHEMA
+from tinyetl_spark.lake.merge import merge_apply
+from tinyetl_spark.sources.debezium import (parse_debezium, stream_debezium,
+                                            to_debezium)
+
+UTC = datetime.timezone.utc
+
+
+def _events(spark):
+    rows = [
+        (0, "https://a.example/1", datetime.datetime(2024, 1, 1, 0, 0, 1),
+         "insert", b"<p>one</p>", "en"),
+        (1, "https://a.example/1", datetime.datetime(2024, 1, 1, 0, 0, 2),
+         "update", b'<p>{"k": 1}\\u2603</p>', "en"),
+        (2, "https://a.example/2", datetime.datetime(2024, 1, 1, 0, 0, 3),
+         "insert", b"<p>two</p>", "de"),
+        (3, "https://a.example/1", datetime.datetime(2024, 1, 1, 0, 0, 4),
+         "delete", None, "en"),
+    ]
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def _collect_events(df):
+    return sorted(
+        (r.event_seq, r.url, r.warc_ts, r.op, bytes(r.html) if r.html
+         is not None else None, r.lang)
+        for r in df.collect())
+
+
+@pytest.mark.parametrize("wrapped", [True, False])
+def test_roundtrip_identity(spark, wrapped):
+    """to_debezium ∘ parse_debezium is the identity on the change-event
+    shape — including binary html with JSON-hostile bytes and deletes
+    whose image rides in `before`."""
+    ev = _events(spark)
+    back = parse_debezium(to_debezium(ev, wrapped=wrapped),
+                          wrapped=wrapped)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == \
+        [(f.name, f.dataType) for f in EVENTS_SCHEMA.fields]
+    assert _collect_events(back) == _collect_events(ev)
+
+
+def test_hand_built_envelope_fields(spark):
+    """A hand-written envelope (not produced by to_debezium) parses to
+    exactly the documented mapping: lsn → event_seq, µs → timestamp,
+    base64 → bytes, r → insert."""
+    import base64
+    env = json.dumps({"payload": {
+        "before": None,
+        "after": {"url": "https://x.example/", "warc_ts": 1704067201000000,
+                  "html": base64.b64encode(b"<p>snap</p>").decode(),
+                  "lang": "en"},
+        "op": "r", "ts_ms": 1704067201000, "source": {"lsn": 77}}})
+    out = parse_debezium(
+        spark.createDataFrame([(env,)], "value string")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_seq == 77
+    assert r.op == "insert"
+    assert r.url == "https://x.example/"
+    assert bytes(r.html) == b"<p>snap</p>"
+    assert r.warc_ts == datetime.datetime(2024, 1, 1, 0, 0, 1)
+
+
+def test_tombstones_truncates_and_lsn_fallback(spark):
+    """Kafka tombstones (null/empty payload) and op codes that carry no
+    row change (t = truncate) are dropped; an envelope without
+    source.lsn falls back to ts_ms for event_seq."""
+    envs = [
+        ("",),                                     # empty tombstone
+        ("null",),
+        (json.dumps({"payload": None}),),
+        (json.dumps({"payload": {"op": "t", "ts_ms": 5,
+                                 "source": {"lsn": 1}}}),),
+        (json.dumps({"payload": {
+            "after": {"url": "u", "warc_ts": 1_000_000,
+                      "html": None, "lang": None},
+            "op": "c", "ts_ms": 42}}),),           # no source.lsn
+    ]
+    out = parse_debezium(
+        spark.createDataFrame(envs, "value string")).collect()
+    assert len(out) == 1
+    assert out[0].event_seq == 42          # ts_ms fallback
+    assert out[0].op == "insert"
+    assert out[0].html is None
+
+
+def test_stream_landing_zone_to_merge(spark, tmpdir_path):
+    """json-lines landing zone → stream_debezium → fenced MERGE: final
+    state equals a direct batch merge of the same events (the adapter
+    changes the wire format, not the state machine)."""
+    ev = _events(spark)
+    (to_debezium(ev).coalesce(1)
+     .write.mode("overwrite").text(f"{tmpdir_path}/dbz"))
+
+    table = LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                             key_col="url", num_buckets=4)
+    stream = stream_debezium(spark, f"{tmpdir_path}/dbz")
+    assert stream.isStreaming
+
+    def apply_batch(batch, batch_id):
+        merge_apply(table, batch, batch_id, stream_id="dbz")
+
+    (stream.writeStream.foreachBatch(apply_batch)
+     .option("checkpointLocation", f"{tmpdir_path}/ck")
+     .trigger(availableNow=True).start().awaitTermination())
+
+    got = sorted((r.url, r.event_seq, r.lang)
+                 for r in table.read().collect())
+    # url 1: delete (seq 3) wins; url 2: insert survives
+    assert got == [("https://a.example/2", 2, "de")]
+
+    # direct batch merge of the same events reconverges identically
+    t2 = LakeTable.create(spark, f"{tmpdir_path}/t2", PAGES_SCHEMA,
+                          key_col="url", num_buckets=4)
+    merge_apply(t2, ev, 0, stream_id="direct")
+    assert sorted((r.url, r.event_seq, r.lang)
+                  for r in t2.read().collect()) == got
+
+
+def test_parse_is_python_free(spark):
+    """The adapter must fuse into the scan: no Python eval nodes, no
+    exchanges in the parse projection."""
+    plan = parse_debezium(
+        to_debezium(_events(spark)))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan

@@ -1,0 +1,157 @@
+"""Debezium CDC envelope adapter — the wire format a real binlog/WAL
+tail delivers.
+
+The engine's native event log (sources/eventlog.py) is the landing-zone
+contract: *some agent* writes change events as parquet segments. In
+production that agent is almost always Debezium (or a Debezium-shaped
+shipper: DMS, Maxwell, Canal), and what it actually emits is JSON
+envelopes::
+
+    {"payload": {"before": <row-image|null>, "after": <row-image|null>,
+                 "op": "c"|"u"|"d"|"r", "ts_ms": <epoch-millis>,
+                 "source": {"lsn": <WAL position>, ...}}}
+
+This module turns a DataFrame of those envelope strings into the
+engine's change-event shape (schema.EVENTS_SCHEMA) with ONE pure-
+Catalyst projection — `from_json` against an explicit schema, never
+schema inference (inference is a full extra scan and non-deterministic
+under drift), never per-row Python.
+
+Mapping (Debezium semantics, verbatim):
+- ``op``: c (create) and r (snapshot read) → insert; u → update;
+  d → delete. Anything else (t = truncate, m = message) does not carry
+  a row change for this table shape and is dropped.
+- row image: ``after`` for c/u/r; ``before`` for d (Debezium sets
+  ``after`` null on deletes — the before-image carries the key).
+- ``event_seq``: ``source.lsn`` — the WAL position, exactly what the
+  LWW order and the idempotent MERGE key need; falls back to ``ts_ms``
+  for agents that do not ship a position.
+- ``warc_ts``: Debezium encodes TIMESTAMP columns as epoch-micros
+  (io.debezium.time.MicroTimestamp) → `timestamp_micros`.
+- ``html``: Debezium's JSON converter encodes BYTES as base64 →
+  `unbase64`.
+- tombstones (null value / null payload — Kafka compaction markers)
+  parse to a null payload struct and are dropped with the same filter.
+
+Reference analogue: TinyETL has no log-tail at all — its closest shape
+is the one-shot keyset cursor (/root/reference/src/connectors/
+odbc.rs:233-256). This adapter is the piece that makes the engine's
+streaming ingest speak the ecosystem's actual CDC dialect.
+
+Scale: the projection fuses into the scan (zero shuffle, zero Python);
+a 10^10-event Debezium topic lands as json-lines segments and every
+executor parses its own split. Envelope parse failures surface as null
+payloads — route them through streaming/quarantine.py rather than
+silently dropping when the upstream agent is untrusted.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+# Row image of the north-rule pages stream as Debezium's JSON converter
+# ships it: timestamps as epoch-µs longs, bytes as base64 strings.
+PAGE_IMAGE_SCHEMA = StructType([
+    StructField("url", StringType(), True),
+    StructField("warc_ts", LongType(), True),
+    StructField("html", StringType(), True),     # base64
+    StructField("lang", StringType(), True),
+])
+
+_SOURCE_SCHEMA = StructType([
+    StructField("lsn", LongType(), True),
+])
+
+
+def envelope_schema(image_schema: StructType = PAGE_IMAGE_SCHEMA,
+                    wrapped: bool = True) -> StructType:
+    """Explicit envelope schema for `from_json`. ``wrapped`` is the
+    schemas-enabled converter layout ({"payload": {...}}); the
+    schemas-disabled converter emits the payload fields at top level."""
+    payload = StructType([
+        StructField("before", image_schema, True),
+        StructField("after", image_schema, True),
+        StructField("op", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("source", _SOURCE_SCHEMA, True),
+    ])
+    if wrapped:
+        return StructType([StructField("payload", payload, True)])
+    return payload
+
+
+def parse_debezium(df: DataFrame, value_col: str = "value",
+                   image_schema: StructType = PAGE_IMAGE_SCHEMA,
+                   wrapped: bool = True) -> DataFrame:
+    """Envelope strings → EVENTS_SCHEMA-shaped change events.
+
+    One `from_json` + one projection; op codes outside {c, u, d, r} and
+    tombstones (null payload) are filtered out. Output columns:
+    event_seq, url, warc_ts, op, html, lang — byte-compatible with
+    sources/eventlog.py's native shape, so everything downstream
+    (dedup, merge_apply, fan-out routing) is unchanged.
+    """
+    parsed = df.withColumn(
+        "_env", F.from_json(F.col(value_col),
+                            envelope_schema(image_schema, wrapped)))
+    p = F.col("_env.payload") if wrapped else F.col("_env")
+    img = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    return (parsed
+            .select(
+                F.coalesce(p["source"]["lsn"], p["ts_ms"])
+                 .cast("long").alias("event_seq"),
+                img["url"].alias("url"),
+                F.timestamp_micros(img["warc_ts"]).alias("warc_ts"),
+                F.when(p["op"].isin("c", "r"), F.lit("insert"))
+                 .when(p["op"] == "u", F.lit("update"))
+                 .when(p["op"] == "d", F.lit("delete"))
+                 .alias("op"),
+                F.unbase64(img["html"]).alias("html"),
+                img["lang"].alias("lang"))
+            .filter(F.col("op").isNotNull()
+                    & F.col("event_seq").isNotNull()))
+
+
+def to_debezium(events: DataFrame, wrapped: bool = True) -> DataFrame:
+    """Change events → envelope strings (column ``value``): the test/
+    bench stand-in for the Debezium agent, and the outbound shape for
+    publishing this engine's change feed to a Debezium-speaking
+    consumer. `to_json` handles escaping and encodes the binary html
+    field as base64 — exactly the converter's BYTES encoding; struct
+    fields that are null are omitted, which `from_json` reads back as
+    null (the converter's own optional-field behavior)."""
+    img = F.struct(
+        F.col("url"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts"),
+        F.col("html"),
+        F.col("lang"))
+    payload = F.struct(
+        F.when(F.col("op") == "delete", img).alias("before"),
+        F.when(F.col("op") != "delete", img).alias("after"),
+        F.when(F.col("op") == "insert", F.lit("c"))
+         .when(F.col("op") == "update", F.lit("u"))
+         .when(F.col("op") == "delete", F.lit("d")).alias("op"),
+        (F.unix_micros(F.col("warc_ts").cast("timestamp")) / 1000)
+        .cast("long").alias("ts_ms"),
+        F.struct(F.col("event_seq").alias("lsn")).alias("source"))
+    env = F.struct(payload.alias("payload")) if wrapped else payload
+    return events.select(F.to_json(env).alias("value"))
+
+
+def stream_debezium(spark: SparkSession, dir_path: str,
+                    image_schema: StructType = PAGE_IMAGE_SCHEMA,
+                    wrapped: bool = True,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming tail of a json-lines Debezium landing zone with
+    checkpointed file-source offsets — drop-in for
+    eventlog.stream_event_log when the agent ships envelopes instead of
+    parquet. Same offsets/replay semantics (the file source checkpoints
+    which segments belong to each batch)."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(dir_path)
+    return parse_debezium(raw, "value", image_schema, wrapped)
