@@ -774,6 +774,44 @@ def cdc_debezium_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_seq"))
 
 
+def cdc_publish_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound CDC (sources/debezium.py publish_changes): the engine
+    runs its 4 micro-batches, publishes the resulting change feed as
+    Debezium envelopes through the exactly-once file sink, and a MIRROR
+    table is built purely by re-ingesting those envelopes through the
+    inbound adapter. Oracle = plain LWW SQL over the original events:
+    a green row proves table → CDF → wire dialect → parse → MERGE is a
+    lossless replication channel (the serialized cousin of
+    `replicate()`, which the oracle gate already covers engine-to-
+    engine)."""
+    from tinyetl_spark.sources.debezium import (parse_debezium,
+                                                publish_changes)
+    changes = _events_as_changes(_t(spark, sf_dir, "events"))
+    n = changes.agg(F.max("event_seq")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="tinyetl_pub_")
+    try:
+        src = LakeTable.create(spark, f"{work}/src", PAGES_SCHEMA,
+                               key_col="url", num_buckets=8)
+        step = (n + 3) // 4
+        for i in range(4):
+            merge_apply(src, changes.filter(
+                (F.col("event_seq") >= i * step)
+                & (F.col("event_seq") < (i + 1) * step)), i)
+        publish_changes(spark, f"{work}/src", f"{work}/feed",
+                        f"{work}/ck")
+        mirror = LakeTable.create(spark, f"{work}/dst", PAGES_SCHEMA,
+                                  key_col="url", num_buckets=8)
+        merge_apply(mirror,
+                    parse_debezium(spark.read.text(f"{work}/feed")), 0,
+                    stream_id="mirror")
+        out = (mirror.read()
+               .select("url", "event_seq", "warc_ts", "text", "lang")
+               .orderBy("url"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 DEBEZIUM_ORACLE = """
 select event_id as event_seq,
        'https://site.example/u/' || cast(user_id as varchar) as url,
@@ -2149,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_matview_domain_stats": cdc_matview_domain_stats,
         "cdc_debezium_adapter": cdc_debezium_adapter,
+        "cdc_publish_mirror": cdc_publish_mirror,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2236,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": LOOKUP_ORACLE,
         "cdc_matview_domain_stats": MATVIEW_ORACLE,
         "cdc_debezium_adapter": DEBEZIUM_ORACLE,
+        "cdc_publish_mirror": CDC_ORACLE,
         "cdc_lww_latest": """
             with ranked as (
               select user_id, event_id, ts, event_type, round(value, 6) as value,

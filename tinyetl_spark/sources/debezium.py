@@ -141,6 +141,45 @@ def to_debezium(events: DataFrame, wrapped: bool = True) -> DataFrame:
     return events.select(F.to_json(env).alias("value"))
 
 
+def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
+                    checkpoint_dir: str, wrapped: bool = True) -> None:
+    """Publish a lake table's change-data-feed as Debezium envelopes —
+    the outbound half of the dialect: this engine as the CDC *producer*
+    a downstream Debezium-speaking consumer (another instance of this
+    engine included) can tail.
+
+    Wiring: the ``tinyetl_cdf`` streaming source tails the table's
+    commits with checkpointed snapshot-version offsets; change rows map
+    onto the event shape (delete → delete, everything else → update —
+    a binlog-out cannot distinguish create from update and does not
+    need to: LWW apply is the consumer contract either way) and land as
+    json-lines segments through Spark's file sink, whose _spark_metadata
+    manifest commits files atomically per batch — a crashed invocation
+    re-emits its uncommitted batch, and any manifest-respecting reader
+    (spark.read/readStream.text — stream_debezium included) sees each
+    change exactly once. The image carries the EVENT columns (url,
+    warc_ts, html, lang); derived text is the consumer's to re-extract,
+    same as the inbound path.
+
+    End-to-end: publish_changes → stream_debezium → merge_apply is a
+    mirror over the wire dialect — reconverges to the source state by
+    the same LWW idempotency as replicate() (which chains the engines
+    directly, without the serialization)."""
+    from tinyetl_spark.streaming.cdf_source import register_cdf_source
+    register_cdf_source(spark)
+    feed = (spark.readStream.format("tinyetl_cdf")
+            .option("path", src_table).load())
+    events = feed.select(
+        F.col("event_seq"), F.col("url"), F.col("warc_ts"),
+        F.when(F.col("_change_type") == "delete", F.lit("delete"))
+         .otherwise(F.lit("update")).alias("op"),
+        F.col("html"), F.col("lang"))
+    (to_debezium(events, wrapped=wrapped)
+     .writeStream.format("text").option("path", out_dir)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True).start().awaitTermination())
+
+
 def stream_debezium(spark: SparkSession, dir_path: str,
                     image_schema: StructType = PAGE_IMAGE_SCHEMA,
                     wrapped: bool = True,
