@@ -177,6 +177,40 @@ def test_publish_changes_mirror(spark, tmpdir_path):
     assert state(mirror) == state(src)
 
 
+def test_cli_stream_debezium_source(spark, tmpdir_path, capsys):
+    """YAML job with options.source_format: debezium — the CLI runs the
+    full pipeline off a Debezium landing zone and resumes exactly-once
+    from the same checkpoint."""
+    from tinyetl_spark.cli import main
+
+    ev = _events(spark)
+    (to_debezium(ev).coalesce(1)
+     .write.mode("overwrite").text(f"{tmpdir_path}/landing"))
+    job = f"{tmpdir_path}/job.yaml"
+    with open(job, "w") as f:
+        f.write(f"""\
+version: 1
+source:
+  uri: {tmpdir_path}/landing
+target:
+  uri: {tmpdir_path}/lake/pages
+options:
+  mode: stream
+  source_format: debezium
+  checkpoint_dir: {tmpdir_path}/ck
+  key_col: url
+  num_buckets: 4
+""")
+    assert main(["run", job]) == 0
+    assert "applied 4 events" in capsys.readouterr().out
+    t = LakeTable(spark, f"{tmpdir_path}/lake/pages")
+    assert sorted((r.url, r.event_seq) for r in t.read().collect()) == \
+        [("https://a.example/2", 2)]
+    # exactly-once: re-run from the same checkpoint applies nothing
+    assert main(["run", job]) == 0
+    assert "applied 0 events" in capsys.readouterr().out
+
+
 def test_parse_is_python_free(spark):
     """The adapter must fuse into the scan: no Python eval nodes, no
     exchanges in the parse projection."""

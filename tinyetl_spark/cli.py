@@ -120,7 +120,8 @@ def cmd_run(cfg: JobConfig) -> int:
             max_files_per_trigger=cfg.max_files_per_trigger,
             transform_fn=_transform_fn(cfg),
             quarantine_dir=cfg.quarantine_dir,
-            auto_rescale_rows_per_bucket=cfg.auto_rescale_rows_per_bucket)
+            auto_rescale_rows_per_bucket=cfg.auto_rescale_rows_per_bucket,
+            source_format=cfg.source_format)
         n = sum(s.events_in for s in stats)
         el = time.time() - t0
         print(f"applied {n} events in {len(stats)} batches, "

@@ -94,6 +94,7 @@ class JobConfig:
     max_files_per_trigger: int | None = None
     quarantine_dir: str | None = None   # dead-letter queue for bad events
     auto_rescale_rows_per_bucket: int | None = None  # bucket-spec growth
+    source_format: str = "eventlog"     # eventlog | debezium landing zone
 
     @staticmethod
     def from_yaml(path: str) -> "JobConfig":
@@ -135,6 +136,7 @@ class JobConfig:
             auto_rescale_rows_per_bucket=(
                 int(opts["auto_rescale_rows_per_bucket"])
                 if "auto_rescale_rows_per_bucket" in opts else None),
+            source_format=opts.get("source_format", "eventlog"),
         )
 
 
@@ -157,4 +159,5 @@ options:
   # schema_file: ./schema.yaml
   # quarantine_dir: ./quarantine    # dead-letter queue for bad events
   # auto_rescale_rows_per_bucket: 1000000  # double buckets past this mean
+  # source_format: debezium   # json-lines envelope landing zone (default: eventlog)
 """

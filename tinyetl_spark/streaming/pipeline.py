@@ -92,8 +92,14 @@ def run_pipeline(
     auto_rescale_max_buckets: int = 1 << 16,
     matview_dirs: list[str] | None = None,
     matview_every: int = 1,
+    source_format: str = "eventlog",
 ) -> PipelineRun:
     """Start the CDC stream into an existing LakeTable at ``table_path``.
+
+    ``source_format`` selects the landing-zone dialect: ``eventlog``
+    (native parquet segments) or ``debezium`` (json-lines envelopes via
+    sources/debezium.py — same checkpointed file-source offsets, so
+    resume/replay semantics are identical).
 
     Maintenance runs inline on a cadence so long streams stay healthy
     without an operator:
@@ -138,7 +144,15 @@ def run_pipeline(
         raise ValueError(f"target table does not exist: {table_path}")
     stream_id = _stream_incarnation(checkpoint_dir)
 
-    events = stream_event_log(spark, log_dir, max_files_per_trigger)
+    if source_format == "eventlog":
+        events = stream_event_log(spark, log_dir, max_files_per_trigger)
+    elif source_format == "debezium":
+        from tinyetl_spark.sources.debezium import stream_debezium
+        events = stream_debezium(
+            spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+    else:
+        raise ValueError(f"unknown source_format: {source_format!r} "
+                         "(eventlog | debezium)")
     if dedup_within_watermark:
         events = (events.withWatermark("warc_ts", dedup_within_watermark)
                         .dropDuplicatesWithinWatermark(["url", "event_seq"]))
