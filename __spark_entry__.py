@@ -774,6 +774,35 @@ def cdc_debezium_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_seq"))
 
 
+def cdc_maxwell_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell (MySQL binlog JSON) dialect adapter — same independent-
+    expectation contract as cdc_debezium_adapter but through the flat
+    Maxwell envelope: data-image for every op, epoch-second ts, MySQL
+    datetime text with µs, xid as the ordering key. Shares the
+    DEBEZIUM_ORACLE because the expected OUTPUT mapping is identical —
+    only the wire format differs, which is exactly the point."""
+    from tinyetl_spark.sources.debezium import parse_maxwell, to_maxwell
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.concat(F.lit("https://site.example/u/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+         .when(F.col("event_id") % 3 == 1, F.lit("update"))
+         .otherwise(F.lit("insert")).alias("op"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+         .otherwise(F.encode(F.concat(F.lit("<p>"), F.col("props"),
+                                      F.lit("</p>")), "UTF-8")).alias("html"),
+        F.lit("en").alias("lang"))
+    parsed = parse_maxwell(to_maxwell(changes))
+    return (parsed.select(
+                "event_seq", "url", "warc_ts", "op",
+                F.decode(F.col("html"), "UTF-8").alias("html_text"),
+                "lang")
+            .orderBy("event_seq"))
+
+
 def cdc_publish_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC (sources/debezium.py publish_changes): the engine
     runs its 4 micro-batches, publishes the resulting change feed as
@@ -2188,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_matview_domain_stats": cdc_matview_domain_stats,
         "cdc_debezium_adapter": cdc_debezium_adapter,
         "cdc_publish_mirror": cdc_publish_mirror,
+        "cdc_maxwell_adapter": cdc_maxwell_adapter,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2276,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_matview_domain_stats": MATVIEW_ORACLE,
         "cdc_debezium_adapter": DEBEZIUM_ORACLE,
         "cdc_publish_mirror": CDC_ORACLE,
+        "cdc_maxwell_adapter": DEBEZIUM_ORACLE,
         "cdc_lww_latest": """
             with ranked as (
               select user_id, event_id, ts, event_type, round(value, 6) as value,

@@ -177,6 +177,35 @@ def test_publish_changes_mirror(spark, tmpdir_path):
     assert state(mirror) == state(src)
 
 
+def test_maxwell_roundtrip_and_bootstrap(spark):
+    """Maxwell dialect: to_maxwell ∘ parse_maxwell is the identity on
+    the change-event shape (µs datetime text, base64 blob, xid→seq);
+    bootstrap-insert maps to insert, bootstrap-start/complete drop."""
+    from tinyetl_spark.sources.debezium import parse_maxwell, to_maxwell
+
+    ev = _events(spark)
+    back = parse_maxwell(to_maxwell(ev))
+    assert _collect_events(back) == _collect_events(ev)
+
+    envs = [
+        (json.dumps({"database": "d", "table": "t",
+                     "type": "bootstrap-insert", "ts": 9, "xid": 4,
+                     "data": {"url": "u",
+                              "warc_ts": "2024-01-01 00:00:01.500000",
+                              "html": None, "lang": "en"}}),),
+        (json.dumps({"database": "d", "table": "t",
+                     "type": "bootstrap-start", "ts": 9, "xid": 5}),),
+        (json.dumps({"database": "d", "table": "t",
+                     "type": "bootstrap-complete", "ts": 9, "xid": 6}),),
+    ]
+    out = parse_maxwell(
+        spark.createDataFrame(envs, "value string")).collect()
+    assert len(out) == 1
+    assert out[0].op == "insert" and out[0].event_seq == 4
+    assert out[0].warc_ts == datetime.datetime(2024, 1, 1, 0, 0, 1,
+                                               500000)
+
+
 def test_cli_stream_debezium_source(spark, tmpdir_path, capsys):
     """YAML job with options.source_format: debezium — the CLI runs the
     full pipeline off a Debezium landing zone and resumes exactly-once

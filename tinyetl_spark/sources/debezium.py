@@ -141,6 +141,89 @@ def to_debezium(events: DataFrame, wrapped: bool = True) -> DataFrame:
     return events.select(F.to_json(env).alias("value"))
 
 
+MAXWELL_IMAGE_SCHEMA = StructType([
+    StructField("url", StringType(), True),
+    StructField("warc_ts", StringType(), True),   # MySQL datetime text
+    StructField("html", StringType(), True),      # base64 (blob/varbinary)
+    StructField("lang", StringType(), True),
+])
+
+
+def maxwell_schema(image_schema: StructType = MAXWELL_IMAGE_SCHEMA
+                   ) -> StructType:
+    """Maxwell's flat envelope (Zendesk's MySQL binlog tailer — the
+    other common binlog-JSON dialect; Alibaba Canal is shaped the same
+    way): no payload wrapper, the FULL row image in ``data`` for every
+    op (deletes included), changed-column preimages in ``old``."""
+    return StructType([
+        StructField("database", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("type", StringType(), True),
+        StructField("ts", LongType(), True),          # epoch SECONDS
+        StructField("xid", LongType(), True),
+        StructField("data", image_schema, True),
+        StructField("old", image_schema, True),
+    ])
+
+
+def parse_maxwell(df: DataFrame, value_col: str = "value",
+                  image_schema: StructType = MAXWELL_IMAGE_SCHEMA
+                  ) -> DataFrame:
+    """Maxwell envelope strings → EVENTS_SCHEMA-shaped change events.
+
+    Differences from Debezium, handled here: flat layout (no payload),
+    row image always in ``data`` (no before/after routing),
+    ``bootstrap-insert`` is Maxwell's snapshot-load op (→ insert),
+    ``bootstrap-start``/``bootstrap-complete`` carry no row and drop,
+    ``ts`` is epoch SECONDS, datetimes are MySQL text
+    ('yyyy-MM-dd HH:mm:ss[.ffffff]'), and the best available ordering
+    key is ``xid`` (transaction id; falls back to ts) — a WAL position
+    per-row like Debezium's lsn is not in the format."""
+    parsed = df.withColumn(
+        "_env", F.from_json(F.col(value_col), maxwell_schema(image_schema)))
+    p = F.col("_env")
+    img = p["data"]
+    return (parsed
+            .select(
+                F.coalesce(p["xid"], p["ts"]).cast("long")
+                 .alias("event_seq"),
+                img["url"].alias("url"),
+                img["warc_ts"].cast("timestamp").alias("warc_ts"),
+                F.when(p["type"].isin("insert", "bootstrap-insert"),
+                       F.lit("insert"))
+                 .when(p["type"] == "update", F.lit("update"))
+                 .when(p["type"] == "delete", F.lit("delete"))
+                 .alias("op"),
+                F.unbase64(img["html"]).alias("html"),
+                img["lang"].alias("lang"))
+            .filter(F.col("op").isNotNull()
+                    & F.col("event_seq").isNotNull()))
+
+
+def to_maxwell(events: DataFrame, database: str = "crawl",
+               table: str = "pages") -> DataFrame:
+    """Change events → Maxwell envelope strings (the agent stand-in /
+    outbound shape). Datetimes serialize as MySQL text with µs, binary
+    as base64 via to_json's BYTES encoding."""
+    img = F.struct(
+        F.col("url"),
+        F.date_format(F.col("warc_ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts"),
+        F.col("html"),
+        F.col("lang"))
+    env = F.struct(
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.when(F.col("op") == "insert", F.lit("insert"))
+         .when(F.col("op") == "update", F.lit("update"))
+         .when(F.col("op") == "delete", F.lit("delete")).alias("type"),
+        (F.unix_micros(F.col("warc_ts").cast("timestamp")) / 1_000_000)
+        .cast("long").alias("ts"),
+        F.col("event_seq").alias("xid"),
+        img.alias("data"))
+    return events.select(F.to_json(env).alias("value"))
+
+
 def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
                     checkpoint_dir: str, wrapped: bool = True) -> None:
     """Publish a lake table's change-data-feed as Debezium envelopes —
