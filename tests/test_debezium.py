@@ -240,6 +240,40 @@ options:
     assert "applied 0 events" in capsys.readouterr().out
 
 
+def test_roundtrip_property_adversarial_strings(spark):
+    """Property check (hypothesis): BOTH dialects are the identity on
+    change events whose url/lang carry JSON-hostile text (quotes,
+    backslashes, control chars, non-BMP unicode) and whose html is
+    arbitrary bytes — the to_json/from_json escaping claim, not just
+    the happy path."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tinyetl_spark.sources.debezium import parse_maxwell, to_maxwell
+
+    txt = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1, max_size=24)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=st.lists(
+        st.tuples(txt, txt, st.one_of(st.none(), st.binary(max_size=48)),
+                  st.sampled_from(["insert", "update", "delete"])),
+        min_size=1, max_size=5))
+    def check(rows):
+        data = [
+            (i, url, datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+             op, html, lang)
+            for i, (url, lang, html, op) in enumerate(rows)]
+        ev = spark.createDataFrame(data, EVENTS_SCHEMA)
+        for enc, dec in [(to_debezium, parse_debezium),
+                         (to_maxwell, parse_maxwell)]:
+            assert _collect_events(dec(enc(ev))) == _collect_events(ev)
+
+    check()
+
+
 def test_parse_is_python_free(spark):
     """The adapter must fuse into the scan: no Python eval nodes, no
     exchanges in the parse projection."""
