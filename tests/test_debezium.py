@@ -177,6 +177,56 @@ def test_publish_changes_mirror(spark, tmpdir_path):
     assert state(mirror) == state(src)
 
 
+def test_garbage_envelopes_to_quarantine(spark, tmpdir_path):
+    """An untrusted landing zone mixing clean envelopes, garbage
+    (unparseable JSON, unknown op, missing ordering key) and protocol
+    rows (tombstones, truncates): with a DLQ configured the pipeline
+    merges the clean rows, diverts every garbage row to quarantine with
+    reasons AND its original wire bytes for replay, and drops protocol
+    rows silently — the stream never stops."""
+    from tinyetl_spark.streaming.pipeline import run_to_completion
+
+    good = to_debezium(_events(spark)).collect()
+    lines = [r.value for r in good] + [
+        "{definitely not json",                              # garbage
+        json.dumps({"payload": {"op": "x", "ts_ms": 1,      # unknown op
+                    "source": {"lsn": 50}}}),
+        json.dumps({"payload": {"op": "c",                   # no seq key
+                    "after": {"url": "u", "warc_ts": 1_000_000,
+                              "html": "aGk=", "lang": "en"}}}),
+        "",                                                  # tombstone
+        "null",                                              # tombstone
+        json.dumps({"payload": None}),                       # tombstone
+        json.dumps({"payload": {"op": "t", "ts_ms": 2,      # truncate
+                    "source": {"lsn": 51}}}),
+    ]
+    with open(f"{tmpdir_path}/seg.json", "w") as f:
+        f.write("\n".join(lines))
+    landing = f"{tmpdir_path}/landing"
+    import os
+    os.makedirs(landing)
+    os.rename(f"{tmpdir_path}/seg.json", f"{landing}/seg.json")
+
+    LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                     key_col="url", num_buckets=4)
+    stats = run_to_completion(
+        spark, landing, f"{tmpdir_path}/t", f"{tmpdir_path}/ck",
+        source_format="debezium", quarantine_dir=f"{tmpdir_path}/dlq")
+    assert sum(s.events_quarantined for s in stats) == 3
+
+    t = LakeTable(spark, f"{tmpdir_path}/t")
+    assert sorted((r.url, r.event_seq) for r in t.read().collect()) == \
+        [("https://a.example/2", 2)]
+
+    dlq = spark.read.parquet(f"{tmpdir_path}/dlq")
+    rows = {r._raw_envelope: list(r._reject_reasons)
+            for r in dlq.collect()}
+    assert len(rows) == 3
+    assert "{definitely not json" in rows
+    assert any("bad_op" in v for v in rows.values())
+    assert any("null_event_seq" in v for v in rows.values())
+
+
 def test_maxwell_roundtrip_and_bootstrap(spark):
     """Maxwell dialect: to_maxwell ∘ parse_maxwell is the identity on
     the change-event shape (µs datetime text, base64 blob, xid→seq);

@@ -85,34 +85,68 @@ def envelope_schema(image_schema: StructType = PAGE_IMAGE_SCHEMA,
 
 def parse_debezium(df: DataFrame, value_col: str = "value",
                    image_schema: StructType = PAGE_IMAGE_SCHEMA,
-                   wrapped: bool = True) -> DataFrame:
+                   wrapped: bool = True, drop_invalid: bool = True,
+                   raw_col: str | None = None) -> DataFrame:
     """Envelope strings → EVENTS_SCHEMA-shaped change events.
 
-    One `from_json` + one projection; op codes outside {c, u, d, r} and
-    tombstones (null payload) are filtered out. Output columns:
-    event_seq, url, warc_ts, op, html, lang — byte-compatible with
+    One `from_json` + one projection. Output columns: event_seq, url,
+    warc_ts, op, html, lang — byte-compatible with
     sources/eventlog.py's native shape, so everything downstream
     (dedup, merge_apply, fan-out routing) is unchanged.
+
+    Three kinds of non-event input, handled distinctly:
+    - PROTOCOL rows — Kafka tombstones (null/empty value, null payload)
+      and op codes that carry no row change for this table (t =
+      truncate, m = message): always dropped silently; they are the
+      format working as designed.
+    - GARBAGE — unparseable JSON, unknown op codes, envelopes missing
+      the ordering key: with ``drop_invalid=True`` (default, trusted
+      agent) they are filtered; with ``drop_invalid=False`` they pass
+      through with null fields so the pipeline's quarantine rules
+      (null_url / null_event_seq / bad_op) divert them to the
+      dead-letter queue instead of losing them silently. ``raw_col``
+      additionally carries the original envelope string — a DLQ entry
+      an operator can actually replay after the upstream fix.
     """
+    # PERMISSIVE from_json yields the same all-null struct for malformed
+    # JSON and for a genuine {"payload": null} tombstone; the corrupt-
+    # record column is the only way to tell garbage from protocol
+    sch = envelope_schema(image_schema, wrapped)
+    sch = StructType(sch.fields
+                     + [StructField("_corrupt", StringType(), True)])
     parsed = df.withColumn(
-        "_env", F.from_json(F.col(value_col),
-                            envelope_schema(image_schema, wrapped)))
+        "_env", F.from_json(F.col(value_col), sch,
+                            {"columnNameOfCorruptRecord": "_corrupt",
+                             "mode": "PERMISSIVE"}))
     p = F.col("_env.payload") if wrapped else F.col("_env")
     img = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
-    return (parsed
-            .select(
-                F.coalesce(p["source"]["lsn"], p["ts_ms"])
-                 .cast("long").alias("event_seq"),
-                img["url"].alias("url"),
-                F.timestamp_micros(img["warc_ts"]).alias("warc_ts"),
-                F.when(p["op"].isin("c", "r"), F.lit("insert"))
-                 .when(p["op"] == "u", F.lit("update"))
-                 .when(p["op"] == "d", F.lit("delete"))
-                 .alias("op"),
-                F.unbase64(img["html"]).alias("html"),
-                img["lang"].alias("lang"))
-            .filter(F.col("op").isNotNull()
-                    & F.col("event_seq").isNotNull()))
+    trimmed = F.trim(F.col(value_col))
+    corrupt = F.col("_env")["_corrupt"].isNotNull()
+    tombstone = (F.col(value_col).isNull()
+                 | trimmed.isin("", "null")
+                 | (~corrupt & (p.isNull() if wrapped else F.lit(False))))
+    non_row = p["op"].isin("t", "m")
+    cols = [
+        F.coalesce(p["source"]["lsn"], p["ts_ms"])
+         .cast("long").alias("event_seq"),
+        img["url"].alias("url"),
+        F.timestamp_micros(img["warc_ts"]).alias("warc_ts"),
+        F.when(p["op"].isin("c", "r"), F.lit("insert"))
+         .when(p["op"] == "u", F.lit("update"))
+         .when(p["op"] == "d", F.lit("delete"))
+         .alias("op"),
+        F.unbase64(img["html"]).alias("html"),
+        img["lang"].alias("lang"),
+    ]
+    if raw_col:
+        cols.append(F.col(value_col).alias(raw_col))
+    out = (parsed
+           .filter(~tombstone & ~F.coalesce(non_row, F.lit(False)))
+           .select(*cols))
+    if drop_invalid:
+        out = out.filter(F.col("op").isNotNull()
+                         & F.col("event_seq").isNotNull())
+    return out
 
 
 def to_debezium(events: DataFrame, wrapped: bool = True) -> DataFrame:
@@ -266,14 +300,19 @@ def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
 def stream_debezium(spark: SparkSession, dir_path: str,
                     image_schema: StructType = PAGE_IMAGE_SCHEMA,
                     wrapped: bool = True,
-                    max_files_per_trigger: int | None = None) -> DataFrame:
+                    max_files_per_trigger: int | None = None,
+                    drop_invalid: bool = True,
+                    raw_col: str | None = None) -> DataFrame:
     """Streaming tail of a json-lines Debezium landing zone with
     checkpointed file-source offsets — drop-in for
     eventlog.stream_event_log when the agent ships envelopes instead of
     parquet. Same offsets/replay semantics (the file source checkpoints
-    which segments belong to each batch)."""
+    which segments belong to each batch). ``drop_invalid=False`` +
+    ``raw_col`` feed garbage envelopes to the pipeline's quarantine
+    instead of dropping them (see parse_debezium)."""
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.text(dir_path)
-    return parse_debezium(raw, "value", image_schema, wrapped)
+    return parse_debezium(raw, "value", image_schema, wrapped,
+                          drop_invalid=drop_invalid, raw_col=raw_col)

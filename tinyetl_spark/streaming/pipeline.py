@@ -148,8 +148,13 @@ def run_pipeline(
         events = stream_event_log(spark, log_dir, max_files_per_trigger)
     elif source_format == "debezium":
         from tinyetl_spark.sources.debezium import stream_debezium
+        # with a DLQ configured, garbage envelopes pass through with
+        # null fields (+ the raw string) so the quarantine rules divert
+        # them with reasons instead of the parser dropping them blind
         events = stream_debezium(
-            spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+            spark, log_dir, max_files_per_trigger=max_files_per_trigger,
+            drop_invalid=quarantine_dir is None,
+            raw_col="_raw_envelope" if quarantine_dir is not None else None)
     else:
         raise ValueError(f"unknown source_format: {source_format!r} "
                          "(eventlog | debezium)")
@@ -170,6 +175,9 @@ def run_pipeline(
                 batch_df, max_html_bytes or DEFAULT_MAX_HTML_BYTES)
             n_quarantined = write_quarantine(rejects, quarantine_dir,
                                              batch_id)
+            if "_raw_envelope" in batch_df.columns:
+                # DLQ keeps the original wire bytes; the merge does not
+                batch_df = batch_df.drop("_raw_envelope")
         stats = merge_apply(t, batch_df, batch_id, stream_id=stream_id,
                             extract=extract, transform_fn=transform_fn,
                             mode=merge_mode)
