@@ -324,6 +324,58 @@ def test_roundtrip_property_adversarial_strings(spark):
     check()
 
 
+def test_publish_streaming_consumer_chain(spark, tmpdir_path):
+    """The docstring's exactly-once consumer claim, exercised for real:
+    a STREAMING consumer (stream_debezium with its own checkpoint) over
+    a publish_changes output dir respects the file-sink manifest —
+    each change consumed exactly once across two publish/consume
+    cycles, mirror converges. Also covers the maxwell publish dialect
+    via parse parity."""
+    from tinyetl_spark.sources.debezium import (parse_maxwell,
+                                                publish_changes)
+
+    src = LakeTable.create(spark, f"{tmpdir_path}/src", PAGES_SCHEMA,
+                           key_col="url", num_buckets=4)
+    ev = _events(spark)
+    merge_apply(src, ev.filter("event_seq < 2"), 0, stream_id="s")
+    out, pck = f"{tmpdir_path}/feed", f"{tmpdir_path}/pub_ck"
+    publish_changes(spark, f"{tmpdir_path}/src", out, pck)
+
+    mirror = LakeTable.create(spark, f"{tmpdir_path}/dst", PAGES_SCHEMA,
+                              key_col="url", num_buckets=4)
+
+    def consume():
+        (stream_debezium(spark, out).writeStream
+         .foreachBatch(lambda b, i: merge_apply(
+             mirror, b, i, stream_id="c"))
+         .option("checkpointLocation", f"{tmpdir_path}/con_ck")
+         .trigger(availableNow=True).start().awaitTermination())
+
+    consume()
+
+    def state(t):
+        return sorted((r.url, r.event_seq, r.text)
+                      for r in t.read().collect())
+    assert state(mirror) == state(src)
+
+    # second cycle: new source commits -> publish -> streaming consumer
+    # picks up ONLY the new segments (its checkpoint pins the old ones)
+    merge_apply(src, ev.filter("event_seq >= 2"), 1, stream_id="s")
+    publish_changes(spark, f"{tmpdir_path}/src", out, pck)
+    consume()
+    assert state(mirror) == state(src)
+
+    # maxwell publish dialect: same feed content through the other wire
+    out2 = f"{tmpdir_path}/feed_mx"
+    publish_changes(spark, f"{tmpdir_path}/src", out2,
+                    f"{tmpdir_path}/pub_ck2", dialect="maxwell")
+    mx = parse_maxwell(spark.read.text(out2))
+    m2 = LakeTable.create(spark, f"{tmpdir_path}/dst2", PAGES_SCHEMA,
+                          key_col="url", num_buckets=4)
+    merge_apply(m2, mx, 0, stream_id="m2")
+    assert state(m2) == state(src)
+
+
 def test_parse_is_python_free(spark):
     """The adapter must fuse into the scan: no Python eval nodes, no
     exchanges in the parse projection."""

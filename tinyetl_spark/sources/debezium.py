@@ -259,7 +259,8 @@ def to_maxwell(events: DataFrame, database: str = "crawl",
 
 
 def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
-                    checkpoint_dir: str, wrapped: bool = True) -> None:
+                    checkpoint_dir: str, wrapped: bool = True,
+                    dialect: str = "debezium") -> None:
     """Publish a lake table's change-data-feed as Debezium envelopes —
     the outbound half of the dialect: this engine as the CDC *producer*
     a downstream Debezium-speaking consumer (another instance of this
@@ -291,8 +292,14 @@ def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
         F.when(F.col("_change_type") == "delete", F.lit("delete"))
          .otherwise(F.lit("update")).alias("op"),
         F.col("html"), F.col("lang"))
-    (to_debezium(events, wrapped=wrapped)
-     .writeStream.format("text").option("path", out_dir)
+    if dialect == "debezium":
+        env = to_debezium(events, wrapped=wrapped)
+    elif dialect == "maxwell":
+        env = to_maxwell(events)
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r} "
+                         "(debezium | maxwell)")
+    (env.writeStream.format("text").option("path", out_dir)
      .option("checkpointLocation", checkpoint_dir)
      .trigger(availableNow=True).start().awaitTermination())
 
