@@ -803,6 +803,36 @@ def cdc_maxwell_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_seq"))
 
 
+def cdc_canal_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal (Alibaba binlog flatMessage) dialect adapter — the third
+    wire format, and the only batched one: row images ride an ARRAY per
+    envelope, ops are UPPERCASE, every value is a JSON string. The
+    oracle states the expected output independently, including the
+    documented ordering-key embedding (envelope id × 4096 + intra-batch
+    position — Canal ships no per-row WAL position), so a green row
+    proves encode + posexplode parse + the key embedding end to end."""
+    from tinyetl_spark.sources.debezium import parse_canal, to_canal
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").alias("event_seq"),
+        F.concat(F.lit("https://site.example/u/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+         .when(F.col("event_id") % 3 == 1, F.lit("update"))
+         .otherwise(F.lit("insert")).alias("op"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+         .otherwise(F.encode(F.concat(F.lit("<p>"), F.col("props"),
+                                      F.lit("</p>")), "UTF-8")).alias("html"),
+        F.lit("en").alias("lang"))
+    parsed = parse_canal(to_canal(changes))
+    return (parsed.select(
+                "event_seq", "url", "warc_ts", "op",
+                F.decode(F.col("html"), "UTF-8").alias("html_text"),
+                "lang")
+            .orderBy("event_seq"))
+
+
 def cdc_publish_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound CDC (sources/debezium.py publish_changes): the engine
     runs its 4 micro-batches, publishes the resulting change feed as
@@ -843,6 +873,23 @@ def cdc_publish_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEBEZIUM_ORACLE = """
 select event_id as event_seq,
+       'https://site.example/u/' || cast(user_id as varchar) as url,
+       ts as warc_ts,
+       case when event_type = 'error' then 'delete'
+            when event_id % 3 = 1 then 'update'
+            else 'insert' end as op,
+       case when event_type = 'error' then null
+            else '<p>' || props || '</p>' end as html_text,
+       'en' as lang
+from events
+order by event_seq
+"""
+
+# same mapping through the Canal wire: the only difference the consumer
+# can observe is the documented ordering-key embedding (id*4096 + pos;
+# pos = 0 for to_canal's one-image envelopes)
+CANAL_ORACLE = """
+select event_id * 4096 as event_seq,
        'https://site.example/u/' || cast(user_id as varchar) as url,
        ts as warc_ts,
        case when event_type = 'error' then 'delete'
@@ -2218,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_adapter": cdc_debezium_adapter,
         "cdc_publish_mirror": cdc_publish_mirror,
         "cdc_maxwell_adapter": cdc_maxwell_adapter,
+        "cdc_canal_adapter": cdc_canal_adapter,
         "text_canonical_urls": text_canonical_urls,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2307,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_adapter": DEBEZIUM_ORACLE,
         "cdc_publish_mirror": CDC_ORACLE,
         "cdc_maxwell_adapter": DEBEZIUM_ORACLE,
+        "cdc_canal_adapter": CANAL_ORACLE,
         "cdc_lww_latest": """
             with ranked as (
               select user_id, event_id, ts, event_type, round(value, 6) as value,

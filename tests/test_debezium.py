@@ -320,6 +320,11 @@ def test_roundtrip_property_adversarial_strings(spark):
         for enc, dec in [(to_debezium, parse_debezium),
                          (to_maxwell, parse_maxwell)]:
             assert _collect_events(dec(enc(ev))) == _collect_events(ev)
+        # canal: identity modulo the documented seq embedding (×4096)
+        from tinyetl_spark.sources.debezium import parse_canal, to_canal
+        assert _collect_events(parse_canal(to_canal(ev))) == sorted(
+            (seq * 4096, url, ts, op, html, lang)
+            for seq, url, ts, op, html, lang in _collect_events(ev))
 
     check()
 
@@ -377,10 +382,192 @@ def test_publish_streaming_consumer_chain(spark, tmpdir_path):
 
 
 def test_parse_is_python_free(spark):
-    """The adapter must fuse into the scan: no Python eval nodes, no
-    exchanges in the parse projection."""
-    plan = parse_debezium(
-        to_debezium(_events(spark)))._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "Python" not in plan
-    assert "Exchange" not in plan
+    """The adapters must fuse into the scan: no Python eval nodes, no
+    exchanges in the parse projection (Canal adds a Generate for the
+    batched data array — still JVM-side, still shuffle-free)."""
+    from tinyetl_spark.sources.debezium import parse_canal, to_canal
+    ev = _events(spark)
+    for enc, dec in [(to_debezium, parse_debezium),
+                     (to_canal, parse_canal)]:
+        plan = dec(enc(ev))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
+        assert "Exchange" not in plan
+
+
+def test_canal_roundtrip_and_batched_envelopes(spark):
+    """Canal dialect: parse_canal ∘ to_canal maps each event's ordering
+    key through the documented monotone embedding (id*4096 + pos) and
+    is the identity on every other field; a hand-built BATCHED envelope
+    (the shape the one-row dialects never produce) explodes to one
+    event per image with binlog order preserved in the key."""
+    from tinyetl_spark.sources.debezium import parse_canal, to_canal
+
+    ev = _events(spark)
+    back = parse_canal(to_canal(ev))
+    assert [(f.name, f.dataType) for f in back.schema.fields] == \
+        [(f.name, f.dataType) for f in EVENTS_SCHEMA.fields]
+    assert _collect_events(back) == sorted(
+        (seq * 4096, url, ts, op, html, lang)
+        for seq, url, ts, op, html, lang in _collect_events(ev))
+
+    # one envelope, three row images: seq = id*4096 + position
+    import base64
+    env = json.dumps({
+        "id": 7, "database": "d", "table": "t", "pkNames": ["url"],
+        "isDdl": False, "type": "UPDATE",
+        "es": 1704067200123, "ts": 1704067200456,
+        "data": [
+            {"url": "u0", "warc_ts": "2024-01-01 00:00:01.250000",
+             "html": base64.b64encode(b"<p>a</p>").decode(), "lang": "en"},
+            {"url": "u1", "warc_ts": "2024-01-01 00:00:02",
+             "html": None, "lang": "de"},
+            {"url": "u0", "warc_ts": "2024-01-01 00:00:01.250000",
+             "html": base64.b64encode(b"<p>b</p>").decode(), "lang": "en"},
+        ],
+        "old": [{"lang": "fr"}, None, {"lang": "en"}]})
+    rows = parse_canal(
+        spark.createDataFrame([(env,)], "value string")).collect()
+    assert [(r.event_seq, r.url, r.op) for r in rows] == \
+        [(7 * 4096, "u0", "update"), (7 * 4096 + 1, "u1", "update"),
+         (7 * 4096 + 2, "u0", "update")]
+    assert bytes(rows[0].html) == b"<p>a</p>"
+    assert rows[0].warc_ts == datetime.datetime(2024, 1, 1, 0, 0, 1,
+                                                250000)
+    # same-url pair inside the batch: binlog order survives in the key
+    assert rows[2].event_seq > rows[0].event_seq
+
+    # protocol rows drop in both modes: DDL, statement types, blanks;
+    # `id` missing falls back to es for the envelope component
+    envs = [
+        (json.dumps({"database": "d", "table": "t", "isDdl": True,
+                     "type": "ALTER", "es": 1, "ts": 1, "data": None}),),
+        (json.dumps({"database": "d", "table": "t", "isDdl": False,
+                     "type": "QUERY", "es": 2, "ts": 2, "data": None}),),
+        ("",),
+        (json.dumps({"database": "d", "table": "t", "isDdl": False,
+                     "type": "DELETE", "es": 5, "ts": 5,
+                     "data": [{"url": "gone",
+                               "warc_ts": "2024-01-02 03:04:05",
+                               "html": None, "lang": "en"}]}),),
+    ]
+    out = parse_canal(
+        spark.createDataFrame(envs, "value string")).collect()
+    assert len(out) == 1
+    assert (out[0].op, out[0].url, out[0].event_seq) == \
+        ("delete", "gone", 5 * 4096)
+
+
+def test_canal_garbage_vs_protocol_quarantine_mode(spark):
+    """drop_invalid=False: garbage (unparseable JSON, unknown type)
+    passes through with null op + the raw envelope for the DLQ, while
+    protocol rows (DDL/QUERY/blank) still drop silently — only real
+    garbage reaches the quarantine."""
+    from tinyetl_spark.sources.debezium import parse_canal
+
+    envs = [
+        ("this is not json",),
+        (json.dumps({"id": 1, "type": "WEIRD", "isDdl": False,
+                     "es": 1, "ts": 1,
+                     "data": [{"url": "u", "warc_ts": None,
+                               "html": None, "lang": None}]}),),
+        (json.dumps({"type": "ALTER", "isDdl": True, "es": 2,
+                     "ts": 2}),),
+        ("",),
+        (json.dumps({"id": 3, "type": "INSERT", "isDdl": False,
+                     "es": 3, "ts": 3,
+                     "data": [{"url": "ok",
+                               "warc_ts": "2024-01-01 00:00:01",
+                               "html": None, "lang": "en"}]}),),
+    ]
+    out = parse_canal(spark.createDataFrame(envs, "value string"),
+                      drop_invalid=False, raw_col="_raw").collect()
+    by_op = {}
+    for r in out:
+        by_op.setdefault(r.op, []).append(r)
+    # the good row
+    assert [r.url for r in by_op.get("insert", [])] == ["ok"]
+    # exactly the two garbage rows, raw envelope intact
+    bad = by_op.get(None, [])
+    assert sorted(r._raw for r in bad) == \
+        sorted([envs[0][0], envs[1][0]])
+
+
+def test_canal_batched_property_vs_reference(spark):
+    """Property check (hypothesis): rows chunked into random-size Canal
+    envelopes parse to exactly the flat reference mapping — every row
+    present once, keys embedding (envelope id, intra-batch position),
+    independent of how the binlog batched them."""
+    import base64
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tinyetl_spark.sources.debezium import parse_canal
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.text(min_size=1, max_size=8),
+                              st.sampled_from(["INSERT", "UPDATE",
+                                               "DELETE"])),
+                    min_size=1, max_size=12),
+           st.integers(min_value=1, max_value=5))
+    def check(rows, chunk):
+        envs, expected = [], []
+        for env_i, start in enumerate(range(0, len(rows), chunk)):
+            batch = rows[start:start + chunk]
+            envs.append((json.dumps({
+                "id": 100 + env_i, "database": "d", "table": "t",
+                "isDdl": False, "type": batch[0][1],
+                "es": 1704067200000, "ts": 1704067200000,
+                "data": [{"url": u, "warc_ts": "2024-01-01 00:00:01",
+                          "html": base64.b64encode(
+                              u.encode()).decode(),
+                          "lang": "en"} for u, _ in batch]}),))
+            expected += [((100 + env_i) * 4096 + pos, u,
+                          batch[0][1].lower(), u.encode())
+                         for pos, (u, _) in enumerate(batch)]
+        got = sorted(
+            (r.event_seq, r.url, r.op, bytes(r.html))
+            for r in parse_canal(
+                spark.createDataFrame(envs, "value string")).collect())
+        assert got == sorted(expected)
+
+    check()
+
+
+def test_cli_stream_canal_source(spark, tmpdir_path, capsys):
+    """YAML job with options.source_format: canal — the pipeline runs
+    off a Canal flatMessage landing zone with the same exactly-once
+    resume semantics as the other dialects."""
+    from tinyetl_spark.cli import main
+    from tinyetl_spark.sources.debezium import to_canal
+
+    ev = _events(spark)
+    (to_canal(ev).coalesce(1)
+     .write.mode("overwrite").text(f"{tmpdir_path}/landing"))
+    job = f"{tmpdir_path}/job.yaml"
+    with open(job, "w") as f:
+        f.write(f"""\
+version: 1
+source:
+  uri: {tmpdir_path}/landing
+target:
+  uri: {tmpdir_path}/lake/pages
+options:
+  mode: stream
+  source_format: canal
+  checkpoint_dir: {tmpdir_path}/ck
+  key_col: url
+  num_buckets: 4
+""")
+    assert main(["run", job]) == 0
+    assert "applied 4 events" in capsys.readouterr().out
+    t = LakeTable(spark, f"{tmpdir_path}/lake/pages")
+    # LWW over the embedded keys reconverges to the same final state:
+    # url 1 deleted (seq 3*4096 wins), url 2 alive
+    assert sorted((r.url, r.event_seq) for r in t.read().collect()) == \
+        [("https://a.example/2", 2 * 4096)]
+    # exactly-once: re-run from the same checkpoint applies nothing
+    assert main(["run", job]) == 0
+    assert "applied 0 events" in capsys.readouterr().out

@@ -94,7 +94,7 @@ class JobConfig:
     max_files_per_trigger: int | None = None
     quarantine_dir: str | None = None   # dead-letter queue for bad events
     auto_rescale_rows_per_bucket: int | None = None  # bucket-spec growth
-    source_format: str = "eventlog"     # eventlog | debezium landing zone
+    source_format: str = "eventlog"     # eventlog | debezium | maxwell | canal
 
     @staticmethod
     def from_yaml(path: str) -> "JobConfig":
@@ -159,5 +159,5 @@ options:
   # schema_file: ./schema.yaml
   # quarantine_dir: ./quarantine    # dead-letter queue for bad events
   # auto_rescale_rows_per_bucket: 1000000  # double buckets past this mean
-  # source_format: debezium   # json-lines envelope landing zone (default: eventlog)
+  # source_format: debezium   # or maxwell | canal envelope zone (default: eventlog)
 """

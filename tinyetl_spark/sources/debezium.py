@@ -186,9 +186,9 @@ MAXWELL_IMAGE_SCHEMA = StructType([
 def maxwell_schema(image_schema: StructType = MAXWELL_IMAGE_SCHEMA
                    ) -> StructType:
     """Maxwell's flat envelope (Zendesk's MySQL binlog tailer — the
-    other common binlog-JSON dialect; Alibaba Canal is shaped the same
-    way): no payload wrapper, the FULL row image in ``data`` for every
-    op (deletes included), changed-column preimages in ``old``."""
+    other common binlog-JSON dialect): no payload wrapper, the FULL row
+    image in ``data`` for every op (deletes included), changed-column
+    preimages in ``old``."""
     return StructType([
         StructField("database", StringType(), True),
         StructField("table", StringType(), True),
@@ -258,6 +258,153 @@ def to_maxwell(events: DataFrame, database: str = "crawl",
     return events.select(F.to_json(env).alias("value"))
 
 
+# Canal's flatMessage serializes EVERY column value as a JSON string
+# (numbers, datetimes, blobs alike) — hence the all-string image.
+CANAL_IMAGE_SCHEMA = StructType([
+    StructField("url", StringType(), True),
+    StructField("warc_ts", StringType(), True),   # MySQL datetime text
+    StructField("html", StringType(), True),      # base64 (blob/varbinary)
+    StructField("lang", StringType(), True),
+])
+
+# One Canal envelope carries a BATCH of row images; 4096 bounds the
+# intra-envelope position in the ordering-key embedding (Canal's
+# default fetch batch is far smaller).
+_CANAL_BATCH_CAP = 4096
+
+
+def canal_schema(image_schema: StructType = CANAL_IMAGE_SCHEMA
+                 ) -> StructType:
+    """Alibaba Canal's flatMessage envelope — the third common
+    binlog-JSON dialect, and the one that is NOT one-row-per-envelope:
+    ``data`` is an ARRAY of row images (a whole binlog event's rows per
+    envelope), ``old`` the parallel array of changed-column preimages,
+    ``type`` is UPPERCASE, ``es`` is the source binlog time and ``ts``
+    the processing time (both epoch-millis), ``id`` the tailer's
+    monotone batch id, DDL statements ride the same stream flagged
+    ``isDdl``."""
+    from pyspark.sql.types import ArrayType, BooleanType
+    return StructType([
+        StructField("id", LongType(), True),
+        StructField("database", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("pkNames", ArrayType(StringType()), True),
+        StructField("isDdl", BooleanType(), True),
+        StructField("type", StringType(), True),
+        StructField("es", LongType(), True),          # epoch MILLIS
+        StructField("ts", LongType(), True),          # epoch MILLIS
+        StructField("data", ArrayType(image_schema), True),
+        StructField("old", ArrayType(image_schema), True),
+    ])
+
+
+def parse_canal(df: DataFrame, value_col: str = "value",
+                image_schema: StructType = CANAL_IMAGE_SCHEMA,
+                drop_invalid: bool = True,
+                raw_col: str | None = None) -> DataFrame:
+    """Canal envelope strings → EVENTS_SCHEMA-shaped change events.
+
+    One `from_json` + one generator (posexplode) + one projection —
+    still zero shuffle, zero Python; the explode is the only structural
+    difference from the one-row dialects and it fuses into the scan.
+
+    Ordering key: Canal ships no per-row WAL position in this format,
+    so the key is the documented monotone embedding
+    ``coalesce(id, es) * 4096 + pos`` — envelope order (batch id,
+    falling back to binlog time) then intra-envelope position. Two
+    updates to the same url inside one batched envelope therefore keep
+    their binlog order under the LWW (warc_ts, event_seq) tiebreak,
+    which a bare ``coalesce(id, es)`` would lose.
+
+    Op mapping: INSERT → insert, UPDATE → update, DELETE → delete
+    (Canal puts the deleted row image in ``data``, not ``old``);
+    ``isDdl`` rows and non-row types (CREATE/ALTER/QUERY/ERASE) carry
+    no image for this table shape and drop. With ``drop_invalid=False``
+    garbage envelopes keep flowing with null fields (``posexplode_outer``
+    keeps rows whose ``data`` failed to parse) so the pipeline's
+    quarantine rules can divert them; ``raw_col`` carries the original
+    envelope string for the dead-letter queue, same contract as
+    parse_debezium."""
+    parsed = df.withColumn(
+        "_env", F.from_json(F.col(value_col), canal_schema(image_schema)))
+    p = F.col("_env")
+    row_change = (~F.coalesce(p["isDdl"], F.lit(False))
+                  & p["type"].isin("INSERT", "UPDATE", "DELETE"))
+    # PROTOCOL rows — DDL / statement / transaction-marker envelopes and
+    # blank lines: the format working as designed, dropped silently in
+    # BOTH modes (only genuine garbage belongs in the DLQ)
+    protocol = (F.coalesce(p["isDdl"], F.lit(False))
+                | p["type"].isin("CREATE", "ALTER", "ERASE", "QUERY",
+                                 "TRUNCATE", "CINDEX", "DINDEX", "GTID",
+                                 "XACOMMIT", "XAROLLBACK", "MHEARTBEAT")
+                | F.col(value_col).isNull()
+                | F.trim(F.col(value_col)).isin("", "null"))
+    # null-safe: garbage has null type, so isin() is null — coalesce it
+    # or the ~protocol filter would silently drop the garbage too
+    keep = (row_change if drop_invalid
+            else ~F.coalesce(protocol, F.lit(False)))
+    # garbage must survive the generator when quarantining: outer keeps
+    # rows whose data array is null (unparseable envelopes)
+    gen = parsed.filter(keep).select(
+        "*", F.posexplode_outer(p["data"]).alias("_pos", "_img"))
+    img = F.col("_img")
+    cols = [
+        (F.coalesce(p["id"], p["es"]) * _CANAL_BATCH_CAP
+         + F.coalesce(F.col("_pos"), F.lit(0)))
+        .cast("long").alias("event_seq"),
+        img["url"].alias("url"),
+        img["warc_ts"].cast("timestamp").alias("warc_ts"),
+        F.when(p["type"] == "INSERT", F.lit("insert"))
+         .when(p["type"] == "UPDATE", F.lit("update"))
+         .when(p["type"] == "DELETE", F.lit("delete"))
+         .alias("op"),
+        F.unbase64(img["html"]).alias("html"),
+        img["lang"].alias("lang"),
+    ]
+    if raw_col:
+        cols.append(F.col(value_col).alias(raw_col))
+    out = gen.select(*cols)
+    if drop_invalid:
+        # url too: posexplode_OUTER manufactures a null image for a
+        # row-typed envelope whose data array failed to parse — garbage,
+        # not a row change
+        out = out.filter(F.col("op").isNotNull()
+                         & F.col("event_seq").isNotNull()
+                         & F.col("url").isNotNull())
+    return out
+
+
+def to_canal(events: DataFrame, database: str = "crawl",
+             table: str = "pages") -> DataFrame:
+    """Change events → Canal flatMessage strings (the agent stand-in /
+    outbound shape): one single-row ``data`` array per envelope with
+    ``id`` = the event's ordering key, so parse_canal's embedding maps
+    it to ``event_seq * 4096`` — monotone and order-preserving, the
+    adapter's documented contract (Canal has no per-row WAL position to
+    round-trip a key through verbatim)."""
+    img = F.struct(
+        F.col("url"),
+        F.date_format(F.col("warc_ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts"),
+        F.col("html"),
+        F.col("lang"))
+    ms = (F.unix_micros(F.col("warc_ts").cast("timestamp")) / 1000
+          ).cast("long")
+    env = F.struct(
+        F.col("event_seq").alias("id"),
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.array(F.lit("url")).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        F.when(F.col("op") == "insert", F.lit("INSERT"))
+         .when(F.col("op") == "update", F.lit("UPDATE"))
+         .when(F.col("op") == "delete", F.lit("DELETE")).alias("type"),
+        ms.alias("es"),
+        ms.alias("ts"),
+        F.array(img).alias("data"))
+    return events.select(F.to_json(env).alias("value"))
+
+
 def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
                     checkpoint_dir: str, wrapped: bool = True,
                     dialect: str = "debezium") -> None:
@@ -296,9 +443,11 @@ def publish_changes(spark: SparkSession, src_table: str, out_dir: str,
         env = to_debezium(events, wrapped=wrapped)
     elif dialect == "maxwell":
         env = to_maxwell(events)
+    elif dialect == "canal":
+        env = to_canal(events)
     else:
         raise ValueError(f"unknown dialect: {dialect!r} "
-                         "(debezium | maxwell)")
+                         "(debezium | maxwell | canal)")
     (env.writeStream.format("text").option("path", out_dir)
      .option("checkpointLocation", checkpoint_dir)
      .trigger(availableNow=True).start().awaitTermination())
@@ -323,3 +472,30 @@ def stream_debezium(spark: SparkSession, dir_path: str,
     raw = reader.text(dir_path)
     return parse_debezium(raw, "value", image_schema, wrapped,
                           drop_invalid=drop_invalid, raw_col=raw_col)
+
+
+def stream_maxwell(spark: SparkSession, dir_path: str,
+                   image_schema: StructType = MAXWELL_IMAGE_SCHEMA,
+                   max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming tail of a Maxwell json-lines landing zone — same
+    checkpointed file-source offsets as stream_debezium."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_maxwell(reader.text(dir_path), "value", image_schema)
+
+
+def stream_canal(spark: SparkSession, dir_path: str,
+                 image_schema: StructType = CANAL_IMAGE_SCHEMA,
+                 max_files_per_trigger: int | None = None,
+                 drop_invalid: bool = True,
+                 raw_col: str | None = None) -> DataFrame:
+    """Streaming tail of a Canal flatMessage landing zone — same
+    checkpointed file-source offsets; ``drop_invalid=False`` +
+    ``raw_col`` route garbage envelopes to the quarantine DLQ exactly
+    like the Debezium path."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_canal(reader.text(dir_path), "value", image_schema,
+                       drop_invalid=drop_invalid, raw_col=raw_col)

@@ -97,9 +97,9 @@ def run_pipeline(
     """Start the CDC stream into an existing LakeTable at ``table_path``.
 
     ``source_format`` selects the landing-zone dialect: ``eventlog``
-    (native parquet segments) or ``debezium`` (json-lines envelopes via
-    sources/debezium.py — same checkpointed file-source offsets, so
-    resume/replay semantics are identical).
+    (native parquet segments), ``debezium``, ``maxwell`` or ``canal``
+    (json-lines envelopes via sources/debezium.py — same checkpointed
+    file-source offsets, so resume/replay semantics are identical).
 
     Maintenance runs inline on a cadence so long streams stay healthy
     without an operator:
@@ -155,9 +155,19 @@ def run_pipeline(
             spark, log_dir, max_files_per_trigger=max_files_per_trigger,
             drop_invalid=quarantine_dir is None,
             raw_col="_raw_envelope" if quarantine_dir is not None else None)
+    elif source_format == "maxwell":
+        from tinyetl_spark.sources.debezium import stream_maxwell
+        events = stream_maxwell(
+            spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+    elif source_format == "canal":
+        from tinyetl_spark.sources.debezium import stream_canal
+        events = stream_canal(
+            spark, log_dir, max_files_per_trigger=max_files_per_trigger,
+            drop_invalid=quarantine_dir is None,
+            raw_col="_raw_envelope" if quarantine_dir is not None else None)
     else:
         raise ValueError(f"unknown source_format: {source_format!r} "
-                         "(eventlog | debezium)")
+                         "(eventlog | debezium | maxwell | canal)")
     if dedup_within_watermark:
         events = (events.withWatermark("warc_ts", dedup_within_watermark)
                         .dropDuplicatesWithinWatermark(["url", "event_seq"]))
