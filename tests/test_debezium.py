@@ -493,6 +493,39 @@ def test_canal_garbage_vs_protocol_quarantine_mode(spark):
         sorted([envs[0][0], envs[1][0]])
 
 
+def test_maxwell_garbage_vs_protocol_quarantine_mode(spark):
+    """Maxwell now has the same DLQ contract as the other dialects:
+    drop_invalid=False passes garbage through with null op + the raw
+    envelope, while bootstrap/ddl protocol rows still drop silently."""
+    from tinyetl_spark.sources.debezium import parse_maxwell
+
+    envs = [
+        ("not json at all",),
+        (json.dumps({"database": "d", "table": "t", "type": "mystery",
+                     "ts": 1, "xid": 1}),),
+        (json.dumps({"database": "d", "table": "t",
+                     "type": "bootstrap-start", "ts": 2, "xid": 2}),),
+        (json.dumps({"database": "d", "table": "t",
+                     "type": "table-create", "ts": 3, "xid": 3}),),
+        ("",),
+        (json.dumps({"database": "d", "table": "t", "type": "insert",
+                     "ts": 4, "xid": 4,
+                     "data": {"url": "ok",
+                              "warc_ts": "2024-01-01 00:00:01",
+                              "html": None, "lang": "en"}}),),
+    ]
+    df = spark.createDataFrame(envs, "value string")
+    # drop mode: only the good row survives
+    strict = parse_maxwell(df).collect()
+    assert [(r.url, r.op) for r in strict] == [("ok", "insert")]
+    # quarantine mode: good row + exactly the two garbage rows
+    out = parse_maxwell(df, drop_invalid=False, raw_col="_raw").collect()
+    good = [r for r in out if r.op is not None]
+    bad = [r for r in out if r.op is None]
+    assert [(r.url, r.op) for r in good] == [("ok", "insert")]
+    assert sorted(r._raw for r in bad) == sorted([envs[0][0], envs[1][0]])
+
+
 def test_canal_batched_property_vs_reference(spark):
     """Property check (hypothesis): rows chunked into random-size Canal
     envelopes parse to exactly the flat reference mapping — every row

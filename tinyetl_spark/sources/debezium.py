@@ -201,8 +201,9 @@ def maxwell_schema(image_schema: StructType = MAXWELL_IMAGE_SCHEMA
 
 
 def parse_maxwell(df: DataFrame, value_col: str = "value",
-                  image_schema: StructType = MAXWELL_IMAGE_SCHEMA
-                  ) -> DataFrame:
+                  image_schema: StructType = MAXWELL_IMAGE_SCHEMA,
+                  drop_invalid: bool = True,
+                  raw_col: str | None = None) -> DataFrame:
     """Maxwell envelope strings → EVENTS_SCHEMA-shaped change events.
 
     Differences from Debezium, handled here: flat layout (no payload),
@@ -212,26 +213,43 @@ def parse_maxwell(df: DataFrame, value_col: str = "value",
     ``ts`` is epoch SECONDS, datetimes are MySQL text
     ('yyyy-MM-dd HH:mm:ss[.ffffff]'), and the best available ordering
     key is ``xid`` (transaction id; falls back to ts) — a WAL position
-    per-row like Debezium's lsn is not in the format."""
+    per-row like Debezium's lsn is not in the format.
+
+    ``drop_invalid=False`` + ``raw_col`` give garbage envelopes
+    (unparseable JSON, unknown types) the same DLQ pass-through
+    contract as the other two dialects; protocol rows (bootstrap
+    markers, ddl output types, blank lines) still drop silently in
+    both modes."""
     parsed = df.withColumn(
         "_env", F.from_json(F.col(value_col), maxwell_schema(image_schema)))
     p = F.col("_env")
     img = p["data"]
-    return (parsed
-            .select(
-                F.coalesce(p["xid"], p["ts"]).cast("long")
-                 .alias("event_seq"),
-                img["url"].alias("url"),
-                img["warc_ts"].cast("timestamp").alias("warc_ts"),
-                F.when(p["type"].isin("insert", "bootstrap-insert"),
-                       F.lit("insert"))
-                 .when(p["type"] == "update", F.lit("update"))
-                 .when(p["type"] == "delete", F.lit("delete"))
-                 .alias("op"),
-                F.unbase64(img["html"]).alias("html"),
-                img["lang"].alias("lang"))
-            .filter(F.col("op").isNotNull()
-                    & F.col("event_seq").isNotNull()))
+    protocol = (p["type"].isin("bootstrap-start", "bootstrap-complete",
+                               "table-create", "table-alter",
+                               "table-drop", "database-create",
+                               "database-alter", "database-drop", "ddl")
+                | F.col(value_col).isNull()
+                | F.trim(F.col(value_col)).isin("", "null"))
+    op = (F.when(p["type"].isin("insert", "bootstrap-insert"),
+                 F.lit("insert"))
+           .when(p["type"] == "update", F.lit("update"))
+           .when(p["type"] == "delete", F.lit("delete")))
+    keep = (op.isNotNull() if drop_invalid
+            else ~F.coalesce(protocol, F.lit(False)))
+    cols = [
+        F.coalesce(p["xid"], p["ts"]).cast("long").alias("event_seq"),
+        img["url"].alias("url"),
+        img["warc_ts"].cast("timestamp").alias("warc_ts"),
+        op.alias("op"),
+        F.unbase64(img["html"]).alias("html"),
+        img["lang"].alias("lang"),
+    ]
+    if raw_col:
+        cols.append(F.col(value_col).alias(raw_col))
+    out = parsed.filter(keep).select(*cols)
+    if drop_invalid:
+        out = out.filter(F.col("event_seq").isNotNull())
+    return out
 
 
 def to_maxwell(events: DataFrame, database: str = "crawl",
@@ -476,13 +494,17 @@ def stream_debezium(spark: SparkSession, dir_path: str,
 
 def stream_maxwell(spark: SparkSession, dir_path: str,
                    image_schema: StructType = MAXWELL_IMAGE_SCHEMA,
-                   max_files_per_trigger: int | None = None) -> DataFrame:
+                   max_files_per_trigger: int | None = None,
+                   drop_invalid: bool = True,
+                   raw_col: str | None = None) -> DataFrame:
     """Streaming tail of a Maxwell json-lines landing zone — same
-    checkpointed file-source offsets as stream_debezium."""
+    checkpointed file-source offsets and DLQ contract as
+    stream_debezium."""
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return parse_maxwell(reader.text(dir_path), "value", image_schema)
+    return parse_maxwell(reader.text(dir_path), "value", image_schema,
+                         drop_invalid=drop_invalid, raw_col=raw_col)
 
 
 def stream_canal(spark: SparkSession, dir_path: str,

@@ -158,7 +158,9 @@ def run_pipeline(
     elif source_format == "maxwell":
         from tinyetl_spark.sources.debezium import stream_maxwell
         events = stream_maxwell(
-            spark, log_dir, max_files_per_trigger=max_files_per_trigger)
+            spark, log_dir, max_files_per_trigger=max_files_per_trigger,
+            drop_invalid=quarantine_dir is None,
+            raw_col="_raw_envelope" if quarantine_dir is not None else None)
     elif source_format == "canal":
         from tinyetl_spark.sources.debezium import stream_canal
         events = stream_canal(
