@@ -493,6 +493,56 @@ def test_canal_garbage_vs_protocol_quarantine_mode(spark):
         sorted([envs[0][0], envs[1][0]])
 
 
+def test_schema_evolution_over_the_wire(spark, tmpdir_path):
+    """An upgraded agent starts emitting a new image field: parsing
+    with an extended image schema projects it through verbatim, the
+    fenced MERGE widens the table, and pre-evolution rows conform to
+    null — the north rule's add-column evolution driven entirely from
+    the wire format. Covers the Debezium leg end-to-end and the Canal
+    leg's extra-field roundtrip."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from tinyetl_spark.sources.debezium import (CANAL_IMAGE_SCHEMA,
+                                                PAGE_IMAGE_SCHEMA,
+                                                parse_canal, to_canal)
+
+    ev = _events(spark)
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", PAGES_SCHEMA,
+                         key_col="url", num_buckets=4)
+    # pre-evolution batch: url/2 lands without the new column
+    merge_apply(t, parse_debezium(to_debezium(ev.filter("event_seq = 2"))),
+                0, stream_id="w")
+
+    # agent upgrade: image gains `quality`; table evolves to match
+    ext_img = StructType(PAGE_IMAGE_SCHEMA.fields
+                         + [StructField("quality", DoubleType(), True)])
+    t.evolve_schema(StructType(PAGES_SCHEMA.fields
+                               + [StructField("quality", DoubleType(),
+                                              True)]))
+    late = (ev.filter("event_seq <> 2")
+              .withColumn("quality", F.col("event_seq") / 10.0))
+    parsed = parse_debezium(to_debezium(late, extra_cols=["quality"]),
+                            image_schema=ext_img)
+    assert parsed.columns[-1] == "quality"
+    assert dict(parsed.dtypes)["quality"] == "double"
+    merge_apply(t, parsed, 1, stream_id="w")
+
+    rows = {r.url: r for r in t.read().collect()}
+    # url/1: insert+update+delete all post-evolution -> gone
+    assert set(rows) == {"https://a.example/2"}
+    # pre-evolution row conformed to null quality
+    assert rows["https://a.example/2"].quality is None
+
+    # canal leg: the extra field rides the batched array roundtrip too
+    ext_canal = StructType(CANAL_IMAGE_SCHEMA.fields
+                           + [StructField("quality", DoubleType(), True)])
+    back = parse_canal(to_canal(late, extra_cols=["quality"]),
+                       image_schema=ext_canal)
+    got = sorted((r.event_seq, r.quality) for r in back.collect())
+    assert got == [(s * 4096, s / 10.0)
+                   for s in sorted(r.event_seq for r in late.collect())]
+
+
 def test_maxwell_garbage_vs_protocol_quarantine_mode(spark):
     """Maxwell now has the same DLQ contract as the other dialects:
     drop_invalid=False passes garbage through with null op + the raw

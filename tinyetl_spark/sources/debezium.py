@@ -65,6 +65,18 @@ _SOURCE_SCHEMA = StructType([
     StructField("lsn", LongType(), True),
 ])
 
+# the event-shape columns every dialect maps explicitly; any OTHER field
+# in a caller-supplied image schema is schema evolution arriving over
+# the wire (an upgraded agent emitting a new column) and is projected
+# through verbatim so the merge's union-by-name evolution can widen the
+# table from the stream itself
+_STD_IMAGE_FIELDS = ("url", "warc_ts", "html", "lang")
+
+
+def _extra_image_cols(image_schema: StructType, img) -> list:
+    return [img[f.name].alias(f.name) for f in image_schema.fields
+            if f.name not in _STD_IMAGE_FIELDS]
+
 
 def envelope_schema(image_schema: StructType = PAGE_IMAGE_SCHEMA,
                     wrapped: bool = True) -> StructType:
@@ -138,6 +150,7 @@ def parse_debezium(df: DataFrame, value_col: str = "value",
         F.unbase64(img["html"]).alias("html"),
         img["lang"].alias("lang"),
     ]
+    cols += _extra_image_cols(image_schema, img)
     if raw_col:
         cols.append(F.col(value_col).alias(raw_col))
     out = (parsed
@@ -149,19 +162,24 @@ def parse_debezium(df: DataFrame, value_col: str = "value",
     return out
 
 
-def to_debezium(events: DataFrame, wrapped: bool = True) -> DataFrame:
+def to_debezium(events: DataFrame, wrapped: bool = True,
+                extra_cols: list[str] | None = None) -> DataFrame:
     """Change events → envelope strings (column ``value``): the test/
     bench stand-in for the Debezium agent, and the outbound shape for
     publishing this engine's change feed to a Debezium-speaking
     consumer. `to_json` handles escaping and encodes the binary html
     field as base64 — exactly the converter's BYTES encoding; struct
     fields that are null are omitted, which `from_json` reads back as
-    null (the converter's own optional-field behavior)."""
+    null (the converter's own optional-field behavior). ``extra_cols``
+    ride in the image verbatim — the outbound half of over-the-wire
+    schema evolution (parse with an extended image schema to read them
+    back)."""
     img = F.struct(
         F.col("url"),
         F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts"),
         F.col("html"),
-        F.col("lang"))
+        F.col("lang"),
+        *[F.col(c) for c in (extra_cols or [])])
     payload = F.struct(
         F.when(F.col("op") == "delete", img).alias("before"),
         F.when(F.col("op") != "delete", img).alias("after"),
@@ -244,6 +262,7 @@ def parse_maxwell(df: DataFrame, value_col: str = "value",
         F.unbase64(img["html"]).alias("html"),
         img["lang"].alias("lang"),
     ]
+    cols += _extra_image_cols(image_schema, img)
     if raw_col:
         cols.append(F.col(value_col).alias(raw_col))
     out = parsed.filter(keep).select(*cols)
@@ -253,16 +272,19 @@ def parse_maxwell(df: DataFrame, value_col: str = "value",
 
 
 def to_maxwell(events: DataFrame, database: str = "crawl",
-               table: str = "pages") -> DataFrame:
+               table: str = "pages",
+               extra_cols: list[str] | None = None) -> DataFrame:
     """Change events → Maxwell envelope strings (the agent stand-in /
     outbound shape). Datetimes serialize as MySQL text with µs, binary
-    as base64 via to_json's BYTES encoding."""
+    as base64 via to_json's BYTES encoding; ``extra_cols`` ride in the
+    image verbatim (over-the-wire schema evolution)."""
     img = F.struct(
         F.col("url"),
         F.date_format(F.col("warc_ts").cast("timestamp"),
                       "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts"),
         F.col("html"),
-        F.col("lang"))
+        F.col("lang"),
+        *[F.col(c) for c in (extra_cols or [])])
     env = F.struct(
         F.lit(database).alias("database"),
         F.lit(table).alias("table"),
@@ -379,6 +401,7 @@ def parse_canal(df: DataFrame, value_col: str = "value",
         F.unbase64(img["html"]).alias("html"),
         img["lang"].alias("lang"),
     ]
+    cols += _extra_image_cols(image_schema, img)
     if raw_col:
         cols.append(F.col(value_col).alias(raw_col))
     out = gen.select(*cols)
@@ -393,7 +416,8 @@ def parse_canal(df: DataFrame, value_col: str = "value",
 
 
 def to_canal(events: DataFrame, database: str = "crawl",
-             table: str = "pages") -> DataFrame:
+             table: str = "pages",
+             extra_cols: list[str] | None = None) -> DataFrame:
     """Change events → Canal flatMessage strings (the agent stand-in /
     outbound shape): one single-row ``data`` array per envelope with
     ``id`` = the event's ordering key, so parse_canal's embedding maps
@@ -405,7 +429,8 @@ def to_canal(events: DataFrame, database: str = "crawl",
         F.date_format(F.col("warc_ts").cast("timestamp"),
                       "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("warc_ts"),
         F.col("html"),
-        F.col("lang"))
+        F.col("lang"),
+        *[F.col(c) for c in (extra_cols or [])])
     ms = (F.unix_micros(F.col("warc_ts").cast("timestamp")) / 1000
           ).cast("long")
     env = F.struct(
