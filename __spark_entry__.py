@@ -2200,7 +2200,9 @@ def q_connector_roundtrip(spark, sf_dir):
                   F.unix_micros(F.col("ts").cast("timestamp"))
                    .alias("ts_us"),
                   "user_id", "event_type", "value", "props"))
-    db = tempfile.mktemp(suffix=".sqlite", prefix="tinyetl_rt_")
+    # mkdtemp (not the race-prone, deprecated mktemp): the dir is created
+    # atomically and owned by us; the db file inside it cannot collide.
+    db = os.path.join(tempfile.mkdtemp(prefix="tinyetl_rt_"), "rt.sqlite")
     write_sqlite(ev, db, "events_rt", truncate=True)
     back = read_sqlite(spark, db, "events_rt", num_partitions=4)
     return back.select("event_id", "ts_us", "user_id", "event_type",
@@ -2222,7 +2224,7 @@ def q_duckdb_roundtrip(spark, sf_dir):
                   F.unix_micros(F.col("ts").cast("timestamp"))
                    .alias("ts_us"),
                   "user_id", "event_type", "value", "props"))
-    db = tempfile.mktemp(suffix=".duckdb", prefix="tinyetl_rt_")
+    db = os.path.join(tempfile.mkdtemp(prefix="tinyetl_rt_"), "rt.duckdb")
     write_duckdb(ev, db, "events_rt", truncate=True)
     back = read_duckdb(spark, db, "events_rt", num_partitions=4)
     return back.select("event_id", "ts_us", "user_id", "event_type",
@@ -2248,57 +2250,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters for the driver's oracle gate, which verifies a prefix
+    # of this registry (50 rows in rounds 1-5). Round-5 verdict #2: the 38
+    # registry queries past that window had never received a driver-
+    # verified row, so they now come FIRST (right after three CDC anchors
+    # that keep the flagship merge path in every gate), and the 47
+    # already-driver-green rows follow. Every entry, its function and its
+    # oracle SQL are unchanged — this is a rotation, not a change.
     return {
         "cdc_merge_final_state": cdc_merge_final_state,
         "cdc_lww_latest": cdc_lww_latest,
-        "cdc_change_feed": cdc_change_feed,
-        "cdc_scd2_history": cdc_scd2_history,
-        "cdc_rescale_state": cdc_rescale_state,
-        "cdc_quarantine_split": cdc_quarantine_split,
-        "cdc_time_travel": cdc_time_travel,
-        "cdc_snapshot_diff": cdc_snapshot_diff,
-        "cdc_bootstrap_reconverge": cdc_bootstrap_reconverge,
-        "cdc_fanout_final_state": cdc_fanout_final_state,
-        "cdc_dml_final_state": cdc_dml_final_state,
-        "cdc_point_lookup": cdc_point_lookup,
-        "cdc_matview_domain_stats": cdc_matview_domain_stats,
         "cdc_debezium_adapter": cdc_debezium_adapter,
-        "cdc_publish_mirror": cdc_publish_mirror,
-        "cdc_maxwell_adapter": cdc_maxwell_adapter,
-        "cdc_canal_adapter": cdc_canal_adapter,
-        "text_canonical_urls": text_canonical_urls,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_suppliers": q5_local_suppliers,
-        "q_top3_customers_per_nation": q_top3_customers_per_nation,
-        "q_customers_without_orders": q_customers_without_orders,
-        "q_rollup_lineitem": q_rollup_lineitem,
-        "q_pivot_events": q_pivot_events,
-        "q_percentiles": q_percentiles,
-        "q_stats_agg": q_stats_agg,
-        "q_grouping_sets": q_grouping_sets,
-        "q_orders_with_lineitem_semi": q_orders_with_lineitem_semi,
-        "q_events_windowed": q_events_windowed,
-        "q_events_sessionized": q_events_sessionized,
-        "q_json_props": q_json_props,
-        "q_date_parse_trial": q_date_parse_trial,
-        "text_profile": text_profile,
-        "text_gopher_quality": text_gopher_quality,
-        "text_decontaminate": text_decontaminate,
-        "text_pii_redact": text_pii_redact,
-        "text_repetition_ngrams": text_repetition_ngrams,
-        "text_unicode_nfc": text_unicode_nfc,
-        "text_domain_blocklist": text_domain_blocklist,
-        "text_script_profile": text_script_profile,
-        "text_bm25_topk": text_bm25_topk,
-        "text_lm_score": text_lm_score,
-        "web_page_metadata": web_page_metadata,
-        "web_anchor_texts": web_anchor_texts,
-        "warc_roundtrip": warc_roundtrip,
-        "text_entropy": text_entropy,
-        "dedup_lines": dedup_lines,
-        "dedup_ngram_spans": dedup_ngram_spans,
-        "dedup_spans_incremental": dedup_spans_incremental,
         "graph_pagerank": graph_pagerank,
         "host_quality_rollup": host_quality_rollup,
         "text_boilerplate_ngrams": text_boilerplate_ngrams,
@@ -2337,6 +2299,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "q_connector_roundtrip": q_connector_roundtrip,
         "q_duckdb_roundtrip": q_duckdb_roundtrip,
+        "cdc_change_feed": cdc_change_feed,
+        "cdc_scd2_history": cdc_scd2_history,
+        "cdc_rescale_state": cdc_rescale_state,
+        "cdc_quarantine_split": cdc_quarantine_split,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
+        "cdc_bootstrap_reconverge": cdc_bootstrap_reconverge,
+        "cdc_fanout_final_state": cdc_fanout_final_state,
+        "cdc_dml_final_state": cdc_dml_final_state,
+        "cdc_point_lookup": cdc_point_lookup,
+        "cdc_matview_domain_stats": cdc_matview_domain_stats,
+        "cdc_publish_mirror": cdc_publish_mirror,
+        "cdc_maxwell_adapter": cdc_maxwell_adapter,
+        "cdc_canal_adapter": cdc_canal_adapter,
+        "text_canonical_urls": text_canonical_urls,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_suppliers": q5_local_suppliers,
+        "q_top3_customers_per_nation": q_top3_customers_per_nation,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_rollup_lineitem": q_rollup_lineitem,
+        "q_pivot_events": q_pivot_events,
+        "q_percentiles": q_percentiles,
+        "q_stats_agg": q_stats_agg,
+        "q_grouping_sets": q_grouping_sets,
+        "q_orders_with_lineitem_semi": q_orders_with_lineitem_semi,
+        "q_events_windowed": q_events_windowed,
+        "q_events_sessionized": q_events_sessionized,
+        "q_json_props": q_json_props,
+        "q_date_parse_trial": q_date_parse_trial,
+        "text_profile": text_profile,
+        "text_gopher_quality": text_gopher_quality,
+        "text_decontaminate": text_decontaminate,
+        "text_pii_redact": text_pii_redact,
+        "text_repetition_ngrams": text_repetition_ngrams,
+        "text_unicode_nfc": text_unicode_nfc,
+        "text_domain_blocklist": text_domain_blocklist,
+        "text_script_profile": text_script_profile,
+        "text_bm25_topk": text_bm25_topk,
+        "text_lm_score": text_lm_score,
+        "web_page_metadata": web_page_metadata,
+        "web_anchor_texts": web_anchor_texts,
+        "warc_roundtrip": warc_roundtrip,
+        "text_entropy": text_entropy,
+        "dedup_lines": dedup_lines,
+        "dedup_ngram_spans": dedup_ngram_spans,
+        "dedup_spans_incremental": dedup_spans_incremental,
     }
 
 

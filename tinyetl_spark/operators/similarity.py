@@ -108,11 +108,20 @@ def rp_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     cand = base.join(F.broadcast(q),
                      (F.col("bucket") == F.col("qbucket"))
                      & (F.col("neighbor_id") != F.col("query_id")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"))
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    # Two-stage top-k (same shape as cosine_topk / ivf_topk): avoids the
+    # per-query single-task funnel of a global Window.partitionBy; ties
+    # broken identically at both stages, so results are unchanged.
+    order = [F.desc("cos"), F.asc("neighbor_id")]
+    w_part = Window.partitionBy("_pid", "query_id").orderBy(*order)
+    partial = (scored.withColumn("_pid", F.spark_partition_id())
+                     .withColumn("_prank", F.row_number().over(w_part))
+                     .filter(F.col("_prank") <= k))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k)
+                   .select("query_id", "neighbor_id",
+                           F.round("cos", 6).alias("cos"), "rank"))
 
 
 def _plane_coeffs(g: int, dim: int) -> list[float]:
@@ -373,9 +382,22 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
               .select("query_id", "qvec", F.col("cid").alias("cell")))
     cand = (assigned.join(F.broadcast(probes), "cell")
                     .filter(F.col("neighbor_id") != F.col("query_id")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id",
-                        F.round("cos", 6).alias("cos"), "rank"))
+    scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    # Two-stage top-k (same shape as cosine_topk): stage 1 ranks within
+    # (shuffle partition, query) and keeps k, stage 2 merge-ranks only
+    # partitions x k survivors. A single Window.partitionBy(query_id)
+    # funnels a hot query's entire candidate set (bounded by nprobe/
+    # n_centroids of the corpus, but still O(corpus) in the worst case)
+    # into ONE task — a straggler at 100x scale. Global top-k == top-k of
+    # per-partition top-ks with ties broken identically at both stages,
+    # so the output is bit-identical to the single-window form.
+    order = [F.desc("cos"), F.asc("neighbor_id")]
+    w_part = Window.partitionBy("_pid", "query_id").orderBy(*order)
+    partial = (scored.withColumn("_pid", F.spark_partition_id())
+                     .withColumn("_prank", F.row_number().over(w_part))
+                     .filter(F.col("_prank") <= k))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k)
+                   .select("query_id", "neighbor_id",
+                           F.round("cos", 6).alias("cos"), "rank"))
