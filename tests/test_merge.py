@@ -218,23 +218,56 @@ def test_mor_batch_is_exactly_one_job(spark, tmpdir_path):
 
 
 def test_empty_batch_is_a_noop_commit(spark, tmpdir_path):
-    """An empty micro-batch never rewrites a data file (dense COW guard)
-    and never commits delta debt (MOR post-job discard) — it advances the
+    """An empty micro-batch into a table LARGER than the previous batch
+    never rewrites a data file (the size-gated dense COW guard runs) and
+    never commits delta debt (MOR post-job discard) — it advances the
     epoch fence and nothing else."""
     from tinyetl_spark.lake.merge import last_committed_batch
     t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
     ev = datagen.change_events(spark, 1000, 100, seed=7, hot_fraction=0.3)
-    merge_apply(t, ev, 0)                       # table is dense now
+    merge_apply(t, ev.filter("event_seq < 950"), 0)   # table is dense now
+    # a SMALL second batch so table_rows > prev_in: the empty-batch guard
+    # is size-gated (it only pays its limit-1 job when the rewrite it
+    # prevents is bigger than the job)
+    merge_apply(t, ev.filter("event_seq >= 950"), 1)
+    assert int(t.snapshot().summary["total_rows"]) > 50
     files_before = {f["path"] for f in t.snapshot().files}
     empty = ev.filter("event_seq < 0")
-    s1 = merge_apply(t, empty, 1)               # auto -> dense COW guard
+    s1 = merge_apply(t, empty, 2)               # auto -> dense COW guard
     assert s1.events_in == 0 and s1.upserts == 0 and s1.deletes == 0
     assert {f["path"] for f in t.snapshot().files} == files_before
-    s2 = merge_apply(t, empty, 2, mode="mor")   # MOR post-job discard
+    s2 = merge_apply(t, empty, 3, mode="mor")   # MOR post-job discard
     assert s2.events_in == 0 and s2.strategy == "mor"
     assert {f["path"] for f in t.snapshot().files} == files_before
     assert not any(f.get("delta") for f in t.snapshot().files)
-    assert last_committed_batch(t, "default") == 2
+    assert last_committed_batch(t, "default") == 3
+    assert_state_equal(t, ev)
+
+
+def test_empty_batch_small_table_skips_guard_but_converges(spark,
+                                                           tmpdir_path):
+    """Size-gated guard, the other regime (round 6): when the table holds
+    fewer rows than the previous batch delivered, the dense-COW empty
+    guard job is SKIPPED — an empty batch may then take the ordinary
+    rewrite path, which must still produce byte-identical state, zero
+    event counts, an advanced fence, and a prev_in reset to 0 so the NEXT
+    empty batch is guard-protected again."""
+    from tinyetl_spark.lake.merge import LAST_IN_PROP, last_committed_batch
+    t = make_table(spark, f"{tmpdir_path}/t", buckets=4)
+    ev = datagen.change_events(spark, 1000, 100, seed=7, hot_fraction=0.3)
+    merge_apply(t, ev, 0)          # dense; table_rows (~250) < prev_in 1000
+    state_before = t.read().orderBy("url").collect()
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+    s = merge_apply(t, ev.filter("event_seq < 0"), 1)
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    # ONE merge job, no separate limit-1 guard job
+    assert len(jobs_after - jobs_before) == 1
+    assert s.events_in == 0 and s.upserts == 0 and s.deletes == 0
+    assert s.strategy == "cow"
+    assert last_committed_batch(t, "default") == 1
+    assert int(t.snapshot().properties[LAST_IN_PROP]) == 0
+    assert t.read().orderBy("url").collect() == state_before
     assert_state_equal(t, ev)
 
 

@@ -321,12 +321,28 @@ def merge_apply(table: LakeTable, batch: DataFrame, batch_id: int,
         # the probe too; the file count stays O(touched buckets) because
         # empty shuffle partitions write no file).
         touched = set(range(num_b))
-        if not use_mor and dense and batch.isEmpty():
+        if not use_mor and dense and table_rows > max(prev_in, 1) \
+                and batch.isEmpty():
             # dense copy-on-write would union-and-rewrite EVERY bucket; a
             # limit-1 scan (one cheap job, stops at the first row) guards
             # the full-table rewrite on an empty micro-batch. MOR needs no
             # guard: its single job scans only the (empty) batch and the
             # empty delta is discarded after the job, below.
+            #
+            # The guard itself is SIZE-GATED (round 6): the limit-1 job
+            # costs ~1 s of per-batch serial floor on a multi-executor
+            # cluster (scheduling + planning latency, measured via
+            # TINYETL_MERGE_TIMING on local-cluster[4,2,2048]) — pure
+            # dead weight on every steady-state batch of the 2-batch
+            # replay shape. When the table holds fewer rows than the
+            # previous batch delivered, the rewrite the guard prevents
+            # is CHEAPER than the guard job, so the rare empty batch is
+            # allowed to take the (correct, idempotent) rewrite path and
+            # every non-empty batch saves the job. A large table —
+            # the only case where the guarded rewrite would actually
+            # hurt, including every idle-stream scenario (prev_in
+            # resets to 0 after any zero-event commit) — still runs the
+            # guard on every batch.
             mark("job_empty_guard")
             return _commit_zero_event(table, snap, stream_id, batch_id,
                                       prev_active, table_rows, "cow")

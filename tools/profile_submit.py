@@ -26,8 +26,12 @@ import bench  # noqa: E402
 
 
 def summarize(evlog_dir: str) -> None:
-    files = [os.path.join(evlog_dir, f) for f in os.listdir(evlog_dir)
-             if not f.startswith(".")]
+    files = []
+    for root, _dirs, fns in os.walk(evlog_dir):
+        for fn in fns:
+            if fn.startswith(".") or "appstatus" in fn or fn.endswith(".zstd"):
+                continue
+            files.append(os.path.join(root, fn))
     stages: dict[tuple, dict] = defaultdict(lambda: {
         "tasks": 0, "task_ms": 0, "gc_ms": 0, "fetch_wait_ms": 0,
         "shuffle_read_mb": 0.0, "shuffle_write_mb": 0.0,
@@ -72,6 +76,8 @@ def summarize(evlog_dir: str) -> None:
                             0, (finish - launch) - run_ms
                             - (tm.get("Executor Deserialize Time") or 0)
                             - (tm.get("Result Serialization Time") or 0))
+                    s["spill_mb"] = s.get("spill_mb", 0) + (
+                        tm.get("Disk Bytes Spilled") or 0) / 1e6
                     srm = tm.get("Shuffle Read Metrics") or {}
                     s["fetch_wait_ms"] += srm.get("Fetch Wait Time") or 0
                     s["shuffle_read_mb"] += ((srm.get("Remote Bytes Read") or 0)
@@ -85,7 +91,8 @@ def summarize(evlog_dir: str) -> None:
     print(f"\n== stage summary (total task time {total_task_s:.1f}s) ==")
     hdr = (f"{'stage':>5} {'tasks':>5} {'wall_s':>7} {'task_s':>7} "
            f"{'max_t':>6} {'med_t':>6} {'fetchW':>7} {'gc_s':>5} "
-           f"{'sched':>6} {'shR_MB':>7} {'shW_MB':>7} {'in_MB':>7}  name")
+           f"{'sched':>6} {'shR_MB':>7} {'shW_MB':>7} {'in_MB':>7} "
+           f"{'spill':>7}  name")
     print(hdr)
     for key in sorted(stages, key=lambda k: k[0]):
         s = stages[key]
@@ -100,7 +107,7 @@ def summarize(evlog_dir: str) -> None:
               f"{med:>6.1f} {s['fetch_wait_ms']/1000:>7.1f} "
               f"{s['gc_ms']/1000:>5.1f} {s['sched_delay_ms']/1000:>6.1f} "
               f"{s['shuffle_read_mb']:>7.0f} {s['shuffle_write_mb']:>7.0f} "
-              f"{s['input_mb']:>7.0f}  {s['name']}")
+              f"{s['input_mb']:>7.0f} {s.get('spill_mb', 0):>7.0f}  {s['name']}")
 
 
 def main() -> None:
@@ -132,6 +139,7 @@ def main() -> None:
             "--conf", "spark.executor.heartbeatInterval=60s",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.eventLog.enabled=true",
+            "--conf", "spark.eventLog.compress=false",
             "--conf", f"spark.eventLog.dir=file://{evlog}"]
     for c in args.conf:
         cmd += ["--conf", c]
@@ -151,6 +159,9 @@ def main() -> None:
         sys.exit(f"submit failed rc={p.returncode}")
     res = json.loads(lines[-1])
     res["tree_cpu_seconds"] = round(cpu, 1)
+    for ln in p.stdout.splitlines():
+        if "[merge-timing]" in ln:
+            print(ln)
     print(json.dumps(res))
     summarize(evlog)
     if not args.keep:

@@ -74,7 +74,54 @@ def main() -> None:
     from tinyetl_spark.streaming.pipeline import (run_pipeline,
                                                   run_to_completion)
 
-    spark = get_spark(app_name="tinyetl-cdc-submit")
+    # Config parity with the primary protocol's _cdc_session (bench.py),
+    # applied SYMMETRICALLY at every level so the N vs 4N ratio stays
+    # honest — these are the same knobs a real deployment sets, sized to
+    # its own hardware:
+    # - spark.local.dir: shuffle/spill on the fast local medium. This
+    #   host's /tmp is a virtual disk whose writeback contends across
+    #   concurrent writers (see BENCH/BASELINE.md history); a real
+    #   cluster points this at local NVMe. Overridable via
+    #   SPARK_GRAFT_LOCAL_DIR; falls back to Spark's default when no
+    #   fast tmp exists.
+    # - spark.sql.files.maxPartitionBytes: 1 log segment (~11 MB) = 1
+    #   scan split, so scan tasks pack into even waves at any core count
+    #   instead of 128 MB splits leaving idle cores behind one straggler
+    #   (same knob, same value and same reasoning as the primary
+    #   protocol; on a real cluster it is sized to the agent's segment
+    #   roll size). Overridable via SPARK_GRAFT_MAX_PARTITION_BYTES.
+    # - executor JVMs pre-touch their (protocol-fixed) heap at startup:
+    #   this host's worst pathology is hypervisor first-touch page
+    #   provisioning collapsing ~1000x, and lazy heap growth would pay
+    #   it INSIDE the measured window (the driver-side equivalent has
+    #   been in _cdc_session since round 4).
+    extra = {}
+    fast_tmp = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local-submit" if os.path.isdir("/dev/shm") else "")
+    if fast_tmp:
+        extra["spark.local.dir"] = fast_tmp
+    extra["spark.sql.files.maxPartitionBytes"] = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024))
+    # local-cluster[N,C,M] allocates M MB to each WORKER, but the
+    # executor JVM inside it still launches with the spark.executor.memory
+    # DEFAULT of 1g (verified in the worker launch command: -Xmx1024M) —
+    # half the protocol's per-executor allotment was never reaching the
+    # executor heap, and the reduce stage spilled ~900 MB/batch through
+    # a 1 GB heap as a result. Claim the full allotment explicitly; the
+    # pre-touch Xms MUST match it (Xms > Xmx aborts the executor and the
+    # worker relaunches it forever).
+    exec_mem = os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "2048")
+    extra["spark.executor.memory"] = f"{exec_mem}m"
+    extra["spark.executor.extraJavaOptions"] = (
+        f"-Xms{exec_mem}m -XX:+AlwaysPreTouch")
+    # This job's tasks hold large sort/window buffers and almost no user
+    # memory, so give the unified pool a bigger share (guide §5): at the
+    # default 0.6 the reduce stage still spilled 250-400 MB/batch through
+    # a 2 GB executor; at 0.75 spill measures ~0 (profile_submit runs).
+    extra["spark.memory.fraction"] = os.environ.get(
+        "SPARK_GRAFT_MEMORY_FRACTION", "0.75")
+    spark = get_spark(app_name="tinyetl-cdc-submit", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     work = args.work
