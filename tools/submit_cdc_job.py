@@ -58,8 +58,26 @@ def main() -> None:
                     help="events to generate when --log is absent")
     ap.add_argument("--gen-urls", type=int, default=0,
                     help="distinct urls (default events/20)")
-    ap.add_argument("--num-buckets", type=int, default=32)
-    ap.add_argument("--max-files-per-trigger", type=int, default=64)
+    ap.add_argument("--num-buckets", type=int, default=64,
+                    help="target-table bucket count. Sized by the engine's "
+                         "own rows-per-bucket rule (lake/merge.py MOR slots "
+                         "target ~250k winner rows per sort task; "
+                         "auto_rescale doubles buckets when they overfill): "
+                         "a 16M-event micro-batch over 32 buckets forces "
+                         "~500k-event sorts per task, which spill through a "
+                         "2 GB executor; 64 keeps per-task sort state within "
+                         "execution memory. File layout stays a function of "
+                         "the data (64 buckets for ~760k final rows), never "
+                         "of the cluster size")
+    ap.add_argument("--max-files-per-trigger", type=int, default=128,
+                    help="segments per micro-batch. Default = one 16M-event "
+                         "batch over the bench log: a production 10^10-event "
+                         "stream runs ~10^8-event micro-batches, so LARGE "
+                         "batches are the realistic shape (same argument as "
+                         "bench.py run_cdc_ingest), and the per-batch serial "
+                         "floor (trigger planning + offset/commit bookkeeping "
+                         "+ foreachBatch driver work, ~2-3 s on a multi-"
+                         "executor master) amortizes over 2x the events")
     ap.add_argument("--keep-work", action="store_true")
     ap.add_argument("--warmup", action="store_true",
                     help="run a small end-to-end pipeline first so the "
@@ -121,6 +139,11 @@ def main() -> None:
     # a 2 GB executor; at 0.75 spill measures ~0 (profile_submit runs).
     extra["spark.memory.fraction"] = os.environ.get(
         "SPARK_GRAFT_MEMORY_FRACTION", "0.75")
+    # multi-executor levels fetch ~3/4 of the shuffle remotely; double
+    # the in-flight fetch window so the reduce stage streams instead of
+    # round-tripping (guide §2.2; no-op for the single-executor level,
+    # which reads its shuffle locally)
+    extra["spark.reducer.maxSizeInFlight"] = "96m"
     spark = get_spark(app_name="tinyetl-cdc-submit", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
