@@ -193,11 +193,18 @@ def main() -> None:
     out = {
         "protocol": f"spark-submit --py-files, local-cluster[1,2,{_MEM}] "
                     f"vs local-cluster[4,2,{_MEM}] (N=1 vs 4N=4 executor "
-                    "JVMs, 2 cores each), same pre-generated event log; "
+                    f"JVMs, 2 cores each, spark.executor.memory={_MEM}m "
+                    "claimed explicitly — local-cluster sizes the WORKER "
+                    "and executors otherwise default to 1g), same "
+                    "pre-generated 16M-event log replayed as ONE "
+                    "availableNow micro-batch (production-realistic "
+                    "large-batch shape) into a fresh 64-bucket table; "
                     "events_per_sec = SUSTAINED rate over summed per-batch "
                     "triggerExecution (primary-protocol definition, "
                     "bench.py _cdc_round), wall rate kept as "
-                    "events_per_sec_wall",
+                    "events_per_sec_wall; work gate vs cross-invocation "
+                    "persisted per-level cpu floors "
+                    "(BENCH/SUBMIT_FLOORS.json)",
         "log": log_dir,
         "rounds": {lbl: samples[lbl] for lbl, *_ in LEVELS},
         "median_eps_gated": {"n1": lo_g, "n4": hi_g},
