@@ -80,6 +80,8 @@ def summarize(evlog_dir: str) -> None:
                         tm.get("Disk Bytes Spilled") or 0) / 1e6
                     srm = tm.get("Shuffle Read Metrics") or {}
                     s["fetch_wait_ms"] += srm.get("Fetch Wait Time") or 0
+                    s["remote_read_mb"] = s.get("remote_read_mb", 0) + (
+                        srm.get("Remote Bytes Read") or 0) / 1e6
                     s["shuffle_read_mb"] += ((srm.get("Remote Bytes Read") or 0)
                                              + (srm.get("Local Bytes Read") or 0)) / 1e6
                     swm = tm.get("Shuffle Write Metrics") or {}
@@ -106,7 +108,8 @@ def summarize(evlog_dir: str) -> None:
               f"{s['task_ms']/1000:>7.1f} {s['max_task_ms']/1000:>6.1f} "
               f"{med:>6.1f} {s['fetch_wait_ms']/1000:>7.1f} "
               f"{s['gc_ms']/1000:>5.1f} {s['sched_delay_ms']/1000:>6.1f} "
-              f"{s['shuffle_read_mb']:>7.0f} {s['shuffle_write_mb']:>7.0f} "
+              f"{s['shuffle_read_mb']:>7.0f}"
+              f"/{s.get('remote_read_mb', 0):>4.0f} {s['shuffle_write_mb']:>7.0f} "
               f"{s['input_mb']:>7.0f} {s.get('spill_mb', 0):>7.0f}  {s['name']}")
 
 
