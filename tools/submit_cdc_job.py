@@ -129,7 +129,13 @@ def main() -> None:
     # a 1 GB heap as a result. Claim the full allotment explicitly; the
     # pre-touch Xms MUST match it (Xms > Xmx aborts the executor and the
     # worker relaunches it forever).
-    exec_mem = os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "2048")
+    # 3072 MB default (was 2048): profiled at both levels in one clean
+    # host window — the batch's ~250k-row sort tasks are marginal in a
+    # 2 GB heap (0-18 MB spill, reduce-stage GC 5.4 s) and clean in 3 GB
+    # (spill 0, GC 2.1 s, reduce task-seconds 143->130, +4% events/s at
+    # n4, +3.5% at n1). Sized to the TASK (guide §5), applied
+    # symmetrically at every level, overridable per deployment.
+    exec_mem = os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "3072")
     extra["spark.executor.memory"] = f"{exec_mem}m"
     extra["spark.executor.extraJavaOptions"] = (
         f"-Xms{exec_mem}m -XX:+AlwaysPreTouch")

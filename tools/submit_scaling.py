@@ -39,10 +39,13 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402  (probe + candidate-range + saved-log machinery)
 
 # per-executor memory is a protocol parameter applied to BOTH levels
-# (same per-executor resources at N and 4N — the contract); 2048 MB is
-# the historical default, SPARK_GRAFT_SUBMIT_MEM overrides to probe GC/
-# heap effects on the multi-JVM shape
-_MEM = int(os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "2048"))
+# (same per-executor resources at N and 4N — the contract); default
+# 3072 MB since round 6 (2048 was the historical value; profiled: the
+# job's ~250k-row sort tasks spill 0-18 MB and burn 5.4 s of reduce GC
+# in a 2 GB heap, 0 spill / 2.1 s GC in 3 GB, +3.5-4% events/s at both
+# levels). SPARK_GRAFT_SUBMIT_MEM overrides to probe GC/heap effects
+# on the multi-JVM shape.
+_MEM = int(os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "3072"))
 LEVELS = [
     # label, executors, cores/exec, mem MB, total cores, candidate label
     ("n1", 1, 2, _MEM, 2, "low"),
