@@ -129,13 +129,21 @@ def main() -> None:
     # a 1 GB heap as a result. Claim the full allotment explicitly; the
     # pre-touch Xms MUST match it (Xms > Xmx aborts the executor and the
     # worker relaunches it forever).
-    # 3072 MB default (was 2048): profiled at both levels in one clean
+    # Default = the WORKER's own allotment parsed from a
+    # local-cluster[N,C,M] master (claim the full per-executor budget —
+    # the whole point of the round-6 fix; a worker cannot launch an
+    # executor asking for more than M, so the claim must match M).
+    # Fallback 3072 MB elsewhere: profiled at both levels in one clean
     # host window — the batch's ~250k-row sort tasks are marginal in a
     # 2 GB heap (0-18 MB spill, reduce-stage GC 5.4 s) and clean in 3 GB
     # (spill 0, GC 2.1 s, reduce task-seconds 143->130, +4% events/s at
     # n4, +3.5% at n1). Sized to the TASK (guide §5), applied
-    # symmetrically at every level, overridable per deployment.
-    exec_mem = os.environ.get("SPARK_GRAFT_SUBMIT_MEM", "3072")
+    # symmetrically at every level; SPARK_GRAFT_SUBMIT_MEM overrides.
+    import re as _re
+    _mm = _re.match(r"local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]",
+                    os.environ.get("MASTER", ""))  # exported by spark-submit
+    exec_mem = os.environ.get("SPARK_GRAFT_SUBMIT_MEM",
+                              _mm.group(1) if _mm else "3072")
     extra["spark.executor.memory"] = f"{exec_mem}m"
     extra["spark.executor.extraJavaOptions"] = (
         f"-Xms{exec_mem}m -XX:+AlwaysPreTouch")
